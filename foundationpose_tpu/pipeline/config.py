@@ -1,0 +1,50 @@
+"""Typed configuration tree for the estimator pipeline.
+
+Single source of truth replacing the reference's three config mechanisms
+(argparse + checkpoint OmegaConf + runtime-mutated YAML; SURVEY.md §5.6).
+Frozen dataclasses are hashable, so they can be static args to jit.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from ..models.networks import RefineNetCfg, ScoreNetCfg
+
+
+@dataclasses.dataclass(frozen=True)
+class RefinerCfg:
+    net: RefineNetCfg = dataclasses.field(default_factory=RefineNetCfg)
+    input_res: int = 160
+    crop_ratio: float = 1.2
+    # Delta parameterization — matches the released refiner checkpoint
+    # semantics (predict_pose_refine.py:195-231):
+    trans_rep: str = "tracknet"  # or "deepim"
+    rot_rep: str = "axis_angle"  # or "6d"
+    normalize_xyz: bool = True
+    trans_normalizer: tuple[float, float, float] = (0.02, 0.02, 0.05)
+    rot_normalizer: float = 0.34906585  # 20 degrees in radians
+    xyz_invalid_z: float = 0.001  # PairH5Dataset threshold (h5_dataset.py:94)
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class ScorerCfg:
+    net: ScoreNetCfg = dataclasses.field(default_factory=ScoreNetCfg)
+    input_res: int = 160
+    crop_ratio: float = 1.2
+    normalize_xyz: bool = True
+    xyz_invalid_z: float = 0.1  # TripletH5Dataset threshold (h5_dataset.py:151)
+    mode: str = "network"  # or "depth" (classical fallback, no weights needed)
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class EstimatorCfg:
+    refiner: RefinerCfg = dataclasses.field(default_factory=RefinerCfg)
+    scorer: ScorerCfg = dataclasses.field(default_factory=ScorerCfg)
+    min_n_views: int = 40
+    inplane_step_deg: float = 60.0
+    cluster_angle_deg: float = 30.0
+    rot_grid_pad: int = 4  # pad hypothesis count to a multiple of this
+    max_tex_size: int | None = None
+    zfar: float = float("inf")

@@ -1,0 +1,77 @@
+"""Hypothesis crop construction: render + observation warp + XYZ centering.
+
+The fused TPU equivalent of the reference's make_crop_data_batch
+(predict_pose_refine.py:26-89, predict_score.py:57-114) and the dataset
+transform (h5_dataset.py:79-127): every hypothesis is rendered straight
+into its 160x160 crop by the rasterizer's ROI path, the observation is
+warped once per hypothesis, and both XYZ maps are re-centered on the
+hypothesis translation (optionally normalized by mesh radius). Outputs
+are NHWC 6-channel network inputs; no host round-trips.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import jax_config  # noqa: F401
+from ..geometry.projection import compute_crop_window_tf
+from ..ops.rasterizer import render_mesh
+from ..ops.warp import warp_perspective
+from .mesh_tensors import MeshTensors
+
+
+def make_crop_inputs(
+    mesh: MeshTensors,
+    poses: jax.Array,  # (N, 4, 4)
+    K: jax.Array,  # (3, 3)
+    rgb: jax.Array,  # (H, W, 3) f32 in [0, 1]
+    xyz_map: jax.Array,  # (H, W, 3) observation camera-space XYZ
+    mesh_diameter: float | jax.Array,
+    *,
+    input_res: int,
+    crop_ratio: float,
+    normalize_xyz: bool,
+    invalid_z: float,
+    use_light: bool = True,
+):
+    """Returns (A, B, tf_to_crops): A/B are (N, res, res, 6) f32."""
+    res = int(input_res)
+    tf_to_crops = compute_crop_window_tf(
+        poses, K, crop_ratio, res, mesh_diameter
+    )  # (N, 3, 3)
+
+    rend = render_mesh(
+        mesh.pos,
+        mesh.faces,
+        poses,
+        K,
+        out_hw=(res, res),
+        crop_tf=tf_to_crops,
+        vertex_color=mesh.vertex_color,
+        uv=mesh.uv,
+        tex=mesh.tex,
+        vnormals=mesh.vnormals,
+        use_light=use_light,
+    )
+    rgb_a = rend.color  # (N, res, res, 3) [0,1]
+    xyz_a = rend.xyz
+
+    rgb_b = warp_perspective(rgb, tf_to_crops, (res, res), mode="bilinear")
+    xyz_b = warp_perspective(xyz_map, tf_to_crops, (res, res), mode="nearest")
+
+    t = poses[:, :3, 3][:, None, None, :]  # (N, 1, 1, 3)
+
+    def center(xyz, thres):
+        if normalize_xyz:
+            invalid = xyz[..., 2:3] < thres
+        out = xyz - t
+        if normalize_xyz:
+            radius = jnp.asarray(mesh_diameter, jnp.float32) / 2.0
+            out = out / radius
+            invalid = invalid | (jnp.abs(out) >= 2)
+            out = jnp.where(invalid, 0.0, out)
+        return out
+
+    a = jnp.concatenate([rgb_a, center(xyz_a, invalid_z)], axis=-1)
+    b = jnp.concatenate([rgb_b, center(xyz_b, invalid_z)], axis=-1)
+    return a, b, tf_to_crops

@@ -1,0 +1,244 @@
+"""FoundationPose public estimator API (register / track_one).
+
+TPU-native counterpart of the reference estimator (estimater.py:18-268)
+with the same public surface:
+
+    est = FoundationPose(mesh=mesh, symmetry_tfs=None)
+    pose = est.register(K, rgb, depth, ob_mask, iteration=5)   # (4,4) np
+    pose = est.track_one(rgb, depth, K, iteration=2)           # (4,4) np
+
+Design differences (deliberate, TPU-first):
+* All per-frame compute — depth filtering, XYZ maps, hypothesis
+  rendering, 5x refinement, scoring, argmax — runs on device in a few
+  compiled graphs with static shapes; the reference's cuda<->numpy hops
+  between refiner and scorer (estimater.py:204,215,219) do not exist.
+* Per-frame state (pose_last, rotation grid) is explicit array state on
+  the object; everything below it is a pure function.
+* The rotation grid is built once per object on the host (icosphere +
+  greedy symmetry clustering, native C++ or numpy) exactly like the
+  reference (estimater.py:106-124).
+"""
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import jax_config  # noqa: F401
+from ..geometry.clustering import cluster_poses
+from ..geometry.icosphere import sample_views_icosphere
+from ..geometry.projection import depth_to_xyz_map, guess_translation
+from ..meshio import TriMesh, compute_mesh_diameter, voxel_downsample
+from ..models.networks import init_refine_net, init_score_net
+from ..ops.depth_filters import bilateral_filter_depth, erode_depth
+from .config import EstimatorCfg
+from .mesh_tensors import make_mesh_tensors
+from .refiner import refine_poses
+from .scorer import score_poses
+
+logger = logging.getLogger(__name__)
+
+
+def _rotation_about_z(angle: float) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    out = np.eye(4)
+    out[:2, :2] = [[c, -s], [s, c]]
+    return out
+
+
+@jax.jit
+def _preprocess_depth(depth: jax.Array) -> jax.Array:
+    """erode + bilateral, the register/track prologue (estimater.py:173-174)."""
+    d = erode_depth(depth, radius=2)
+    return bilateral_filter_depth(d, radius=2)
+
+
+class FoundationPose:
+    def __init__(
+        self,
+        model_pts=None,
+        model_normals=None,
+        symmetry_tfs=None,
+        mesh: TriMesh | None = None,
+        cfg: EstimatorCfg | None = None,
+        refiner_params=None,
+        scorer_params=None,
+        debug: int = 0,
+        debug_dir: str | None = None,
+    ):
+        self.cfg = cfg or EstimatorCfg()
+        self.debug = debug
+        self.debug_dir = debug_dir
+        self.gt_pose = None
+        self.pose_last: jax.Array | None = None
+        self.K_last = None
+
+        if refiner_params is None:
+            refiner_params = init_refine_net(
+                jax.random.PRNGKey(0), self.cfg.refiner.net
+            )
+        if scorer_params is None:
+            scorer_params = init_score_net(jax.random.PRNGKey(1), self.cfg.scorer.net)
+        self.refiner_params = refiner_params
+        self.scorer_params = scorer_params
+
+        self.reset_object(
+            model_pts=model_pts,
+            model_normals=model_normals,
+            symmetry_tfs=symmetry_tfs,
+            mesh=mesh,
+        )
+        self.make_rotation_grid(
+            min_n_views=self.cfg.min_n_views,
+            inplane_step=self.cfg.inplane_step_deg,
+        )
+
+    # ------------------------------------------------------------ setup
+
+    def reset_object(self, model_pts=None, model_normals=None, symmetry_tfs=None, mesh=None):
+        """Re-center the mesh, compute diameter/points, upload tensors
+        (estimater.py:44-78)."""
+        if mesh is None:
+            raise ValueError("mesh is required")
+        max_xyz = mesh.vertices.max(axis=0)
+        min_xyz = mesh.vertices.min(axis=0)
+        self.model_center = (min_xyz + max_xyz) / 2
+        self.mesh_ori = mesh
+        mesh = mesh.copy()
+        mesh.vertices = mesh.vertices - self.model_center.reshape(1, 3)
+
+        self.diameter = compute_mesh_diameter(mesh.vertices)
+        self.vox_size = max(self.diameter / 20.0, 0.003)
+        pts, normals = voxel_downsample(
+            mesh.vertices, self.vox_size, mesh.vertex_normals
+        )
+        self.max_xyz = pts.max(axis=0)
+        self.min_xyz = pts.min(axis=0)
+        self.pts = jnp.asarray(pts, dtype=jnp.float32)
+        self.normals = jnp.asarray(normals, dtype=jnp.float32)
+        self.mesh = mesh
+        self.mesh_tensors = make_mesh_tensors(mesh, self.cfg.max_tex_size)
+
+        if symmetry_tfs is None:
+            self.symmetry_tfs = np.eye(4)[None]
+        else:
+            self.symmetry_tfs = np.asarray(symmetry_tfs, dtype=np.float64)
+        logger.info(
+            "reset done: diameter=%.4f V=%d F=%d",
+            self.diameter,
+            len(mesh.vertices),
+            len(mesh.faces),
+        )
+
+    def get_tf_to_centered_mesh(self) -> np.ndarray:
+        tf = np.eye(4)
+        tf[:3, 3] = -self.model_center
+        return tf
+
+    def make_rotation_grid(self, min_n_views=40, inplane_step=60):
+        """Icosphere views x in-plane rotations, deduped under symmetry
+        (estimater.py:106-124)."""
+        cam_in_obs = sample_views_icosphere(n_views=min_n_views)
+        rot_grid = []
+        for i in range(len(cam_in_obs)):
+            for inplane_rot in np.deg2rad(np.arange(0, 360, inplane_step)):
+                cam_in_ob = cam_in_obs[i] @ _rotation_about_z(inplane_rot)
+                rot_grid.append(np.linalg.inv(cam_in_ob))
+        rot_grid = np.asarray(rot_grid)
+        rot_grid = cluster_poses(
+            self.cfg.cluster_angle_deg, 99999.0, rot_grid, self.symmetry_tfs
+        )
+        n = len(rot_grid)
+        pad = (-n) % self.cfg.rot_grid_pad
+        if pad:
+            rot_grid = np.concatenate([rot_grid, np.tile(np.eye(4)[None], (pad, 1, 1))])
+        self.hyp_valid = jnp.asarray(
+            np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+        )
+        self.rot_grid = jnp.asarray(rot_grid, dtype=jnp.float32)
+        logger.info("rotation grid: %d (+%d pad)", n, pad)
+
+    # --------------------------------------------------------- inference
+
+    def _to_device_frame(self, rgb, depth, K):
+        rgb_j = jnp.asarray(rgb, dtype=jnp.float32) / 255.0
+        depth_j = _preprocess_depth(jnp.asarray(depth, dtype=jnp.float32))
+        K_j = jnp.asarray(K, dtype=jnp.float32)
+        xyz_map = depth_to_xyz_map(depth_j, K_j, zfar=self.cfg.zfar)
+        return rgb_j, depth_j, K_j, xyz_map
+
+    def register(self, K, rgb, depth, ob_mask, ob_id=None, iteration=5) -> np.ndarray:
+        """Single-frame pose estimation (estimater.py:159-240)."""
+        rgb_j, depth_j, K_j, xyz_map = self._to_device_frame(rgb, depth, K)
+        depth_f = np.asarray(depth_j)
+
+        valid = (depth_f >= 0.001) & (np.asarray(ob_mask) > 0)
+        if valid.sum() < 4:
+            logger.info("valid region too small; returning translation guess")
+            pose = np.eye(4)
+            pose[:3, 3] = guess_translation(depth_f, np.asarray(ob_mask), np.asarray(K))
+            return pose
+
+        center = guess_translation(depth_f, np.asarray(ob_mask), np.asarray(K))
+        poses = self.rot_grid.at[:, :3, 3].set(
+            jnp.asarray(center, dtype=jnp.float32)[None]
+        )
+
+        diameter = jnp.float32(self.diameter)
+        refined = refine_poses(
+            self.refiner_params,
+            self.cfg.refiner,
+            self.mesh_tensors,
+            poses,
+            K_j,
+            rgb_j,
+            xyz_map,
+            diameter,
+            iterations=int(iteration),
+        )
+        scores = score_poses(
+            self.scorer_params,
+            self.cfg.scorer,
+            self.mesh_tensors,
+            refined,
+            K_j,
+            rgb_j,
+            xyz_map,
+            diameter,
+            valid=self.hyp_valid,
+        )
+        order = jnp.argsort(-scores)
+        best = order[0]
+        self.poses = refined[order]
+        self.scores = scores[order]
+        self.pose_last = refined[best]
+        self.best_id = int(best)
+        best_pose = np.asarray(self.pose_last, dtype=np.float64) @ self.get_tf_to_centered_mesh()
+        return best_pose
+
+    def compute_add_err_to_gt_pose(self, poses) -> np.ndarray:
+        """GT hook, stub like the reference (estimater.py:243-247)."""
+        return -np.ones(len(poses))
+
+    def track_one(self, rgb, depth, K, iteration=2, extra=None) -> np.ndarray:
+        """Per-frame tracking: refine-only from pose_last (estimater.py:250-268)."""
+        if self.pose_last is None:
+            raise RuntimeError("Please init pose by register() first")
+        rgb_j, _depth_j, K_j, xyz_map = self._to_device_frame(rgb, depth, K)
+        refined = refine_poses(
+            self.refiner_params,
+            self.cfg.refiner,
+            self.mesh_tensors,
+            self.pose_last[None],
+            K_j,
+            rgb_j,
+            xyz_map,
+            jnp.float32(self.diameter),
+            iterations=int(iteration),
+        )
+        self.pose_last = refined[0]
+        return (
+            np.asarray(refined[0], dtype=np.float64) @ self.get_tf_to_centered_mesh()
+        ).reshape(4, 4)
