@@ -1,0 +1,82 @@
+"""Headline benchmark: full registration throughput on one chip.
+
+Workload matches the reference's benchmark configuration
+(BASELINE.md): 252 rotation hypotheses, 5 refinement iterations,
+hypothesis scoring, argmax — on a ~5k-face textured-equivalent object at
+640x480. The reference achieves ~1.3 s per registration (≈194
+hypotheses/s) on an RTX-3090-class GPU (paper, arXiv:2312.08344).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_HYP_PER_S = 252.0 / 1.3  # reference: ~1.3 s / 252-hypothesis register
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from foundationpose_tpu.geometry.icosphere import icosphere
+    from foundationpose_tpu.meshio import TriMesh
+    from foundationpose_tpu.ops import render_mesh
+    from foundationpose_tpu.pipeline import EstimatorCfg, ScorerCfg, FoundationPose
+
+    # ~5k-face object, 0.2 m diameter (mustard-bottle-class workload).
+    verts, faces = icosphere(4, radius=0.1)
+    rng = np.random.default_rng(0)
+    verts = verts * (1.0 + 0.15 * np.sin(8 * verts[:, 2:3]))  # non-sphere shape
+    colors = rng.integers(30, 255, size=(len(verts), 3)).astype(np.uint8)
+    mesh = TriMesh(vertices=verts, faces=faces, vertex_colors=colors)
+
+    H, W = 480, 640
+    K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1.0]], np.float32)
+    gt = np.eye(4, dtype=np.float32)
+    gt[:3, 3] = [0.02, -0.01, 0.9]
+
+    # Synthetic observation rendered with the same rasterizer.
+    out = render_mesh(
+        jnp.asarray(mesh.vertices.astype(np.float32)),
+        jnp.asarray(mesh.faces.astype(np.int32)),
+        jnp.asarray(gt[None]),
+        jnp.asarray(K),
+        out_hw=(H, W),
+        vertex_color=jnp.asarray(colors.astype(np.float32) / 255.0),
+        vnormals=jnp.asarray(mesh.vertex_normals.astype(np.float32)),
+        use_light=True,
+    )
+    rgb = (np.asarray(out.color[0]) * 255).astype(np.uint8)
+    depth = np.asarray(out.depth[0]).astype(np.float32)
+    mask = np.asarray(out.mask[0]).astype(np.uint8)
+
+    cfg = EstimatorCfg(scorer=ScorerCfg(mode="network"))
+    est = FoundationPose(mesh=mesh, cfg=cfg)
+    n_hyp = int(np.asarray(est.hyp_valid).sum())
+
+    # Warmup (compile), then timed runs.
+    est.register(K, rgb, depth, mask, iteration=5)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        est.register(K, rgb, depth, mask, iteration=5)
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    hyp_per_s = n_hyp / t
+
+    print(
+        json.dumps(
+            {
+                "metric": "register_hypotheses_per_sec",
+                "value": round(hyp_per_s, 2),
+                "unit": "hyp/s (252-hyp, 5-iter registration)",
+                "vs_baseline": round(hyp_per_s / BASELINE_HYP_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
