@@ -1,0 +1,137 @@
+"""BOP benchmark driver: per-object registration over dataset scenes.
+
+Unifies the reference's run_linemod.py / run_ycb_video.py (their
+structure is identical up to the reader; run_linemod.py:90-133,
+run_ycb_video.py:82-130): for each object in each scene, register every
+(key)frame and dump per-frame 4x4 poses to YAML. Unlike the reference,
+this driver also ships the scoring pass (--score) computing ADD /
+ADD-S AUC against GT, which the reference left out of the repo.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+import yaml
+
+
+def nest_set(d, keys, value):
+    for k in keys[:-1]:
+        d = d.setdefault(k, {})
+    d[keys[-1]] = value
+
+
+def run_dataset(args):
+    from foundationpose_tpu.datasets import get_bop_reader, get_bop_video_dirs
+    from foundationpose_tpu.cli.run_demo import build_estimator
+
+    video_dirs = get_bop_video_dirs(args.dataset)
+    if args.max_videos:
+        video_dirs = video_dirs[: args.max_videos]
+    res = {}
+    est = None
+    for video_dir in video_dirs:
+        reader = get_bop_reader(video_dir, zfar=np.inf)
+        video_id = reader.get_video_id()
+        for ob_id in reader.ob_ids:
+            if args.use_reconstructed_mesh:
+                mesh = reader.get_reconstructed_mesh(
+                    ob_id, ref_view_dir=args.ref_view_dir
+                )
+            else:
+                mesh = reader.get_gt_mesh(ob_id)
+            symmetry_tfs = reader.symmetry_tfs[ob_id]
+            if est is None:
+                est = build_estimator(mesh, args)
+            est.reset_object(mesh=mesh, symmetry_tfs=symmetry_tfs)
+            est.make_rotation_grid(min_n_views=40, inplane_step=60)
+
+            for i in range(len(reader.color_files)):
+                if hasattr(reader, "is_keyframe") and not reader.is_keyframe(i):
+                    continue
+                if ob_id not in reader.get_instance_ids_in_image(i):
+                    continue
+                color = reader.get_color(i)
+                depth = reader.get_depth(i)
+                ob_mask = reader.get_mask(i, ob_id, type=args.detect_type)
+                if ob_mask is None or ob_mask.sum() == 0:
+                    logging.info("no mask for ob %d frame %d", ob_id, i)
+                    continue
+                K = reader.get_K(i)
+                est.gt_pose = reader.get_gt_pose(i, ob_id, mask=ob_mask)
+                pose = est.register(
+                    K=K, rgb=color, depth=depth, ob_mask=ob_mask,
+                    iteration=args.est_refine_iter,
+                )
+                nest_set(
+                    res,
+                    [args.dataset, str(video_id), str(ob_id), reader.id_strs[i]],
+                    pose.reshape(4, 4).tolist(),
+                )
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w") as ff:
+        yaml.safe_dump(res, ff)
+    logging.info("results -> %s", args.out)
+    return res
+
+
+def score_results(args):
+    """ADD / ADD-S AUC scoring harness (reference shipped the metric
+    helpers at Utils.py:232-266 but no driver)."""
+    from foundationpose_tpu.datasets import get_bop_reader, get_bop_video_dirs
+    from foundationpose_tpu.utils.metrics import add_err, adds_err, compute_auc
+
+    with open(args.out) as ff:
+        res = yaml.safe_load(ff)
+    adds = []
+    add = []
+    video_dirs = {str(get_bop_reader(v).get_video_id()): v for v in get_bop_video_dirs(args.dataset)}
+    for video_id, obs in res[args.dataset].items():
+        reader = get_bop_reader(video_dirs[video_id])
+        id_to_index = {s: i for i, s in enumerate(reader.id_strs)}
+        for ob_id, frames in obs.items():
+            mesh = reader.get_gt_mesh(int(ob_id))
+            pts = mesh.vertices
+            if len(pts) > 2000:
+                pts = pts[:: len(pts) // 2000]
+            for id_str, pose in frames.items():
+                gt = reader.get_gt_pose(id_to_index[id_str], int(ob_id))
+                pose = np.asarray(pose)
+                add.append(add_err(pose, gt, pts))
+                adds.append(adds_err(pose, gt, pts))
+    print(
+        {
+            "ADD_AUC": compute_auc(add),
+            "ADDS_AUC": compute_auc(adds),
+            "n": len(add),
+        }
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", type=str, default="ycbv",
+                        choices=["ycbv", "lmo", "lm", "tless", "hb", "tudl", "icbin", "itodd"])
+    parser.add_argument("--out", type=str, default="bop_res.yml")
+    parser.add_argument("--est_refine_iter", type=int, default=5)
+    parser.add_argument("--use_reconstructed_mesh", type=int, default=0)
+    parser.add_argument("--ref_view_dir", type=str, default=None)
+    parser.add_argument("--detect_type", type=str, default="mask_visib")
+    parser.add_argument("--max_videos", type=int, default=0)
+    parser.add_argument("--refiner_ckpt", type=str, default=None)
+    parser.add_argument("--scorer_ckpt", type=str, default=None)
+    parser.add_argument("--score", action="store_true", help="score an existing result file")
+    parser.add_argument("--debug", type=int, default=0)
+    parser.add_argument("--debug_dir", type=str, default="debug")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="[%(funcName)s()] %(message)s")
+    if args.score:
+        score_results(args)
+    else:
+        run_dataset(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Demo driver: register on frame 0, track the rest of an RGB-D video.
+
+Equivalent of the reference's run_demo.py:15-78 for YCBInEOAT-format
+scene directories (rgb/ depth/ masks/ cam_K.txt).
+
+With no trained checkpoints the scorer falls back to the classical
+depth-alignment mode; pass --refiner_ckpt/--scorer_ckpt to use converted
+FoundationPose weights (.pth).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+
+def build_estimator(mesh, args):
+    from foundationpose_tpu.models.convert import (
+        convert_refine_net,
+        convert_score_net,
+        detect_use_bn,
+        load_torch_state_dict,
+    )
+    from foundationpose_tpu.models.networks import RefineNetCfg, ScoreNetCfg
+    from foundationpose_tpu.pipeline import (
+        EstimatorCfg,
+        FoundationPose,
+        RefinerCfg,
+        ScorerCfg,
+    )
+
+    refiner_params = scorer_params = None
+    refiner_cfg = RefinerCfg()
+    scorer_mode = "depth"
+    scorer_cfg_net = ScoreNetCfg()
+    if args.refiner_ckpt:
+        sd = load_torch_state_dict(args.refiner_ckpt)
+        use_bn = detect_use_bn(sd)
+        refiner_params = convert_refine_net(sd, use_bn)
+        refiner_cfg = RefinerCfg(net=RefineNetCfg(use_bn=use_bn))
+    if args.scorer_ckpt:
+        sd = load_torch_state_dict(args.scorer_ckpt)
+        use_bn = detect_use_bn(sd)
+        scorer_params = convert_score_net(sd, use_bn)
+        scorer_cfg_net = ScoreNetCfg(use_bn=use_bn)
+        scorer_mode = "network"
+
+    cfg = EstimatorCfg(
+        refiner=refiner_cfg,
+        scorer=ScorerCfg(net=scorer_cfg_net, mode=scorer_mode),
+    )
+    return FoundationPose(
+        mesh=mesh,
+        cfg=cfg,
+        refiner_params=refiner_params,
+        scorer_params=scorer_params,
+        debug=args.debug,
+        debug_dir=args.debug_dir,
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    code_dir = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    parser.add_argument("--mesh_file", type=str, required=True)
+    parser.add_argument("--test_scene_dir", type=str, required=True)
+    parser.add_argument("--est_refine_iter", type=int, default=5)
+    parser.add_argument("--track_refine_iter", type=int, default=2)
+    parser.add_argument("--refiner_ckpt", type=str, default=None)
+    parser.add_argument("--scorer_ckpt", type=str, default=None)
+    parser.add_argument("--debug", type=int, default=1)
+    parser.add_argument("--debug_dir", type=str, default=f"{code_dir}/debug")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="[%(funcName)s()] %(message)s")
+
+    from foundationpose_tpu.datasets import YcbineoatReader
+    from foundationpose_tpu.meshio import load_mesh
+    from foundationpose_tpu.utils.vis import draw_posed_3d_box, draw_xyz_axis
+
+    mesh = load_mesh(args.mesh_file)
+    os.makedirs(f"{args.debug_dir}/ob_in_cam", exist_ok=True)
+    os.makedirs(f"{args.debug_dir}/track_vis", exist_ok=True)
+
+    est = build_estimator(mesh, args)
+    reader = YcbineoatReader(video_dir=args.test_scene_dir, shorter_side=None, zfar=np.inf)
+    bbox = mesh.bounds() - mesh.bounds().mean(axis=0, keepdims=True)
+
+    for i in range(len(reader.color_files)):
+        color = reader.get_color(i)
+        depth = reader.get_depth(i)
+        if i == 0:
+            mask = reader.get_mask(0).astype(bool)
+            pose = est.register(
+                K=reader.K, rgb=color, depth=depth, ob_mask=mask,
+                iteration=args.est_refine_iter,
+            )
+        else:
+            pose = est.track_one(
+                rgb=color, depth=depth, K=reader.K, iteration=args.track_refine_iter
+            )
+        np.savetxt(f"{args.debug_dir}/ob_in_cam/{reader.id_strs[i]}.txt", pose.reshape(4, 4))
+
+        if args.debug >= 1:
+            center_pose = pose @ np.linalg.inv(est.get_tf_to_centered_mesh())
+            vis = draw_posed_3d_box(reader.K, img=color.copy(), ob_in_cam=center_pose, bbox=bbox)
+            vis = draw_xyz_axis(
+                vis, ob_in_cam=center_pose, scale=0.1, K=reader.K,
+                thickness=3, transparency=0, is_input_rgb=True,
+            )
+            import imageio.v2 as imageio
+
+            imageio.imwrite(f"{args.debug_dir}/track_vis/{reader.id_strs[i]}.png", vis)
+        logging.info("frame %s done", reader.id_strs[i])
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,20 @@ Geometry must be exact f32; network code opts IN to bf16 explicitly by
 casting activations/weights, so raising the default costs nothing there.
 Imported by every jax-facing module in the package.
 """
+import os
+
 import jax
 
 jax.config.update("jax_default_matmul_precision", "float32")
+
+# XLA compilation on this host is very slow (single CPU core); persist
+# compiled executables across processes.
+_cache_dir = os.environ.get(
+    "FP_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/fp_tpu_jax_cache")
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # older jax without these knobs
+    pass

@@ -13,10 +13,14 @@ TPU, not translated:
 * Per-pose ROI rendering (the reference's `bbox2d` trick) is the crop
   affine applied to projected vertices — each hypothesis renders straight
   into its 160x160 network crop.
-* The inner loop is an edge-function coverage test + z-argmin over face
-  chunks, expressed as fused vector ops: XLA keeps the (pixels x chunk)
-  tile in registers/VMEM and never materializes it in HBM. Poses are
-  processed in blocks via lax.map to bound the working set.
+* Two rasterization strategies, both fully fused by XLA (the
+  (pixels x faces) tile never hits HBM):
+    - 'brute': every pixel tests every face, scanned over face chunks.
+      Exact; right for small meshes.
+    - 'binned': faces are binned to image tiles by screen bbox
+      (top_k selection, static K cap per tile), then each tile tests
+      only its K candidates — an order-of-magnitude fewer edge tests
+      for the 5k-face meshes of the benchmark workload.
 * Everything is padded/static: hypothesis count, face count, output size.
 
 Perspective-correct interpolation uses 2D screen barycentrics re-weighted
@@ -31,6 +35,8 @@ import jax
 import jax.numpy as jnp
 
 from .. import jax_config  # noqa: F401
+
+_BIG = jnp.float32(1e30)
 
 
 class RenderOutput(NamedTuple):
@@ -63,19 +69,13 @@ def _screen_vertices(pos, poses, K, crop_tf):
     return pts_cam, jnp.stack([u, v], axis=-1)
 
 
-def _rasterize_one(xy_f, z_f, valid_f, pix_u, pix_v, face_chunk):
-    """Nearest covering face per pixel for ONE pose.
+def _face_coeffs(xy_f, z_f, valid_f):
+    """Per-face sign-normalized barycentric + 1/z affine coefficients.
 
-    xy_f: (F, 3, 2) screen coords of face vertices
-    z_f: (F, 3) camera-space z
-    valid_f: (F,) usable faces (in front of camera, non-degenerate)
-    pix_u, pix_v: (P,) pixel center coordinates
-    Returns (best_face (P,), best_zinv_sum (P,), covered (P,)).
+    Returns (F, 10): [wa0,wb0,wc0, wa1,wb1,wc1, wa2,wb2,wc2, ok] where
+    w_k(p) = wa_k*px + wb_k*py + wc_k is already divided by the signed
+    doubled area (so inside <=> all w_k >= 0), plus per-face zinv (F, 3).
     """
-    F = xy_f.shape[0]
-    P = pix_u.shape[0]
-    n_chunks = F // face_chunk
-
     x0, y0 = xy_f[:, 0, 0], xy_f[:, 0, 1]
     x1, y1 = xy_f[:, 1, 0], xy_f[:, 1, 1]
     x2, y2 = xy_f[:, 2, 0], xy_f[:, 2, 1]
@@ -83,62 +83,138 @@ def _rasterize_one(xy_f, z_f, valid_f, pix_u, pix_v, face_chunk):
     inv_area = jnp.where(jnp.abs(area2) < 1e-12, 0.0, 1.0 / area2)
     ok = valid_f & (jnp.abs(area2) > 1e-12)
 
-    # Edge-function coefficients: w_k(p) = (a_k * px + b_k * py + c_k) / area2
-    # w0 from edge (v1, v2), w1 from (v2, v0), w2 from (v0, v1).
-    def edge_coeff(xa, ya, xb, yb):
-        a = ya - yb
-        b = xb - xa
-        c = xa * yb - xb * ya
-        return a, b, c
+    def edge(xa, ya, xb, yb):
+        return (ya - yb) * inv_area, (xb - xa) * inv_area, (xa * yb - xb * ya) * inv_area
 
-    a0, b0, c0 = edge_coeff(x1, y1, x2, y2)
-    a1, b1, c1 = edge_coeff(x2, y2, x0, y0)
-    a2, b2, c2 = edge_coeff(x0, y0, x1, y1)
-
-    zinv = jnp.where(z_f > 1e-8, 1.0 / z_f, 0.0)  # (F, 3)
-
+    a0, b0, c0 = edge(x1, y1, x2, y2)
+    a1, b1, c1 = edge(x2, y2, x0, y0)
+    a2, b2, c2 = edge(x0, y0, x1, y1)
+    zinv = jnp.where(z_f > 1e-8, 1.0 / z_f, 0.0)
     coeffs = jnp.stack(
-        [a0, b0, c0, a1, b1, c1, a2, b2, c2, inv_area,
-         zinv[:, 0], zinv[:, 1], zinv[:, 2],
-         ok.astype(jnp.float32)],
-        axis=-1,
-    )  # (F, 14)
-    coeffs = coeffs.reshape(n_chunks, face_chunk, 14)
+        [a0, b0, c0, a1, b1, c1, a2, b2, c2, ok.astype(jnp.float32)], axis=-1
+    )
+    return coeffs, zinv
 
-    big = jnp.float32(1e30)
+
+def _eval_faces(coeffs, zinv, px, py):
+    """Edge-test faces at pixels; px/py (...,) broadcast against coeffs
+    (..., 10) and zinv (..., 3). Returns perspective z (BIG outside)."""
+    w0 = px * coeffs[..., 0] + py * coeffs[..., 1] + coeffs[..., 2]
+    w1 = px * coeffs[..., 3] + py * coeffs[..., 4] + coeffs[..., 5]
+    w2 = px * coeffs[..., 6] + py * coeffs[..., 7] + coeffs[..., 8]
+    inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (coeffs[..., 9] > 0)
+    zinv_sum = w0 * zinv[..., 0] + w1 * zinv[..., 1] + w2 * zinv[..., 2]
+    return jnp.where(inside & (zinv_sum > 1e-12), 1.0 / zinv_sum, _BIG)
+
+
+def _rasterize_brute(xy_f, z_f, valid_f, pix_u, pix_v, face_chunk):
+    """Nearest covering face per pixel, scanning face chunks. ONE pose.
+
+    Returns (best_face (P,), covered (P,))."""
+    F = xy_f.shape[0]
+    P = pix_u.shape[0]
+    coeffs, zinv = _face_coeffs(xy_f, z_f, valid_f)
+    data = jnp.concatenate([coeffs, zinv], axis=-1)  # (F, 13)
+    data = data.reshape(F // face_chunk, face_chunk, 13)
 
     def body(carry, ch):
         best_z, best_face, base = carry
-        a0c, b0c, c0c = ch[:, 0], ch[:, 1], ch[:, 2]
-        a1c, b1c, c1c = ch[:, 3], ch[:, 4], ch[:, 5]
-        a2c, b2c, c2c = ch[:, 6], ch[:, 7], ch[:, 8]
-        inv_a = ch[:, 9]
-        zi0, zi1, zi2 = ch[:, 10], ch[:, 11], ch[:, 12]
-        okc = ch[:, 13] > 0
-
-        # (P, C) barycentrics; signs normalized by inv_area.
-        w0 = (pix_u[:, None] * a0c + pix_v[:, None] * b0c + c0c) * inv_a
-        w1 = (pix_u[:, None] * a1c + pix_v[:, None] * b1c + c1c) * inv_a
-        w2 = (pix_u[:, None] * a2c + pix_v[:, None] * b2c + c2c) * inv_a
-        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & okc[None, :]
-        # Perspective-correct depth: z = 1 / sum(w_k / z_k).
-        zinv_sum = w0 * zi0 + w1 * zi1 + w2 * zi2
-        z = jnp.where(inside & (zinv_sum > 1e-12), 1.0 / zinv_sum, big)
+        z = _eval_faces(
+            ch[None, :, :10], ch[None, :, 10:13], pix_u[:, None], pix_v[:, None]
+        )  # (P, C)
         z_min = jnp.min(z, axis=1)
         idx = jnp.argmin(z, axis=1).astype(jnp.int32) + base
         better = z_min < best_z
-        best_z = jnp.where(better, z_min, best_z)
-        best_face = jnp.where(better, idx, best_face)
-        return (best_z, best_face, base + face_chunk), None
+        return (
+            jnp.where(better, z_min, best_z),
+            jnp.where(better, idx, best_face),
+            base + face_chunk,
+        ), None
 
     init = (
-        jnp.full((P,), big, dtype=jnp.float32),
+        jnp.full((P,), _BIG, dtype=jnp.float32),
         jnp.zeros((P,), dtype=jnp.int32),
         jnp.int32(0),
     )
-    (best_z, best_face, _), _ = jax.lax.scan(body, init, coeffs)
-    covered = best_z < big
-    return best_face, best_z, covered
+    (best_z, best_face, _), _ = jax.lax.scan(body, init, data)
+    return best_face, best_z < _BIG
+
+
+def _rasterize_binned(
+    xy_f, z_f, valid_f, H, W, tile, max_faces_per_tile
+):
+    """Tile-binned rasterization for ONE pose. Returns flat image-ordered
+    (best_face (H*W,), covered (H*W,)).
+
+    Stage 1 bins faces to (H/tile x W/tile) tiles by screen bbox via a
+    top_k selection (static cap K = max_faces_per_tile; overflow drops
+    highest-index faces — raise K for very dense meshes).
+    Stage 2 edge-tests each tile's pixels against only its K candidates;
+    XLA fuses the (tile_px x K) evaluation into the z-min reduction.
+    """
+    F = xy_f.shape[0]
+    K = max_faces_per_tile
+    nty, ntx = H // tile, W // tile
+    T = nty * ntx
+
+    coeffs, zinv = _face_coeffs(xy_f, z_f, valid_f)
+
+    # --- bin: face bbox -> tile overlap mask (T, F)
+    bx0 = jnp.min(xy_f[:, :, 0], axis=1)
+    bx1 = jnp.max(xy_f[:, :, 0], axis=1)
+    by0 = jnp.min(xy_f[:, :, 1], axis=1)
+    by1 = jnp.max(xy_f[:, :, 1], axis=1)
+    tx = jnp.arange(ntx, dtype=jnp.float32) * tile
+    ty = jnp.arange(nty, dtype=jnp.float32) * tile
+    ok = coeffs[:, 9] > 0
+    ov_x = (bx0[:, None] <= tx[None] + (tile - 1)) & (bx1[:, None] >= tx[None])
+    ov_y = (by0[:, None] <= ty[None] + (tile - 1)) & (by1[:, None] >= ty[None])
+    mask = ov_y[:, :, None] & ov_x[:, None, :] & ok[:, None, None]  # (F, nty, ntx)
+    mask = mask.reshape(F, T).T  # (T, F)
+
+    face_ids = jax.lax.broadcasted_iota(jnp.int32, (T, F), 1)
+    keys = jnp.where(mask, F - face_ids, 0)
+    top_keys, _ = jax.lax.top_k(keys, K)  # (T, K)
+    slot_face = F - top_keys  # (T, K); == F where empty
+    slot_valid = top_keys > 0
+
+    # gather per-slot coefficients (pad row F = invalid)
+    coeffs_p = jnp.concatenate([coeffs, jnp.zeros((1, 10), coeffs.dtype)], axis=0)
+    zinv_p = jnp.concatenate([zinv, jnp.zeros((1, 3), zinv.dtype)], axis=0)
+    c_t = coeffs_p[slot_face]  # (T, K, 10)
+    z_t = zinv_p[slot_face]  # (T, K, 3)
+    c_t = c_t.at[..., 9].set(jnp.where(slot_valid, c_t[..., 9], 0.0))
+
+    # --- fine: per-tile pixel coordinates (T, tile*tile)
+    ty_idx = jax.lax.broadcasted_iota(jnp.int32, (nty, ntx), 0)
+    tx_idx = jax.lax.broadcasted_iota(jnp.int32, (nty, ntx), 1)
+    oy = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+    ox = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+    px = (
+        tx_idx.reshape(T, 1) * tile + ox.reshape(1, tile * tile)
+    ).astype(jnp.float32)
+    py = (
+        ty_idx.reshape(T, 1) * tile + oy.reshape(1, tile * tile)
+    ).astype(jnp.float32)
+
+    z = _eval_faces(
+        c_t[:, None, :, :], z_t[:, None, :, :], px[:, :, None], py[:, :, None]
+    )  # (T, P, K)
+    best_slot = jnp.argmin(z, axis=-1)  # (T, P)
+    best_z = jnp.min(z, axis=-1)
+    best_face = jnp.take_along_axis(slot_face, best_slot, axis=1)  # (T, P)
+    covered = best_z < _BIG
+    best_face = jnp.where(covered, best_face, 0)
+
+    # --- assemble tiles back to image order
+    def untile(x):
+        return (
+            x.reshape(nty, ntx, tile, tile)
+            .transpose(0, 2, 1, 3)
+            .reshape(H * W)
+        )
+
+    return untile(best_face), untile(covered)
 
 
 def _sample_texture(tex: jax.Array, uv: jax.Array) -> jax.Array:
@@ -174,6 +250,10 @@ def _sample_texture(tex: jax.Array, uv: jax.Array) -> jax.Array:
         "pose_block",
         "w_ambient",
         "w_diffuse",
+        "method",
+        "tile",
+        "max_faces_per_tile",
+        "cull_backfaces",
     ),
 )
 def render_mesh(
@@ -195,6 +275,10 @@ def render_mesh(
     w_diffuse: float = 0.5,
     face_chunk: int = 512,
     pose_block: int = 16,
+    method: str = "auto",
+    tile: int = 16,
+    max_faces_per_tile: int = 512,
+    cull_backfaces: bool = False,
 ) -> RenderOutput:
     """Render N pose hypotheses of one mesh in a single fused graph.
 
@@ -204,6 +288,11 @@ def render_mesh(
     per-vertex colors. Lighting replicates Utils.py:191-212: Gouraud
     diffuse with head-on directional light, color*(w_ambient +
     diffuse*w_diffuse).
+
+    method 'binned' needs out_hw divisible by `tile`; 'auto' picks
+    'binned' for meshes above ~1.5k faces when the size works out.
+    cull_backfaces=True drops camera-averted faces before binning —
+    exact for closed meshes with consistent outward winding.
     """
     H, W = out_hw
     N = poses.shape[0]
@@ -212,13 +301,18 @@ def render_mesh(
     poses = poses.astype(jnp.float32)
     K = K.astype(jnp.float32)
 
+    if method == "auto":
+        if F > 1536 and H % tile == 0 and W % tile == 0:
+            method = "binned"
+        else:
+            method = "brute"
+
     # Pad faces to a multiple of face_chunk with degenerate entries.
     pad_f = (-F) % face_chunk
     if pad_f:
         faces = jnp.concatenate(
             [faces, jnp.zeros((pad_f, 3), dtype=faces.dtype)], axis=0
         )
-    Fp = faces.shape[0]
 
     # Pad poses to a multiple of pose_block.
     pad_n = (-N) % pose_block
@@ -272,70 +366,96 @@ def render_mesh(
             xy_f = xy_1[faces]  # (F, 3, 2)
             z_f = z_v[faces]  # (F, 3)
             valid_f = face_valid_static & jnp.all(z_f > 1e-4, axis=-1)
-            best_face, _, covered = _rasterize_one(
-                xy_f, z_f, valid_f, pix_u, pix_v, face_chunk
-            )
-
-            # Recompute barycentrics of the winning face per pixel.
-            tri = faces[best_face]  # (P, 3)
-            pa = xy_1[tri[:, 0]]
-            pb = xy_1[tri[:, 1]]
-            pc = xy_1[tri[:, 2]]
-            area2 = (pb[:, 0] - pa[:, 0]) * (pc[:, 1] - pa[:, 1]) - (
-                pc[:, 0] - pa[:, 0]
-            ) * (pb[:, 1] - pa[:, 1])
-            inv_a = jnp.where(jnp.abs(area2) < 1e-12, 0.0, 1.0 / area2)
-            w0 = (
-                (pb[:, 0] - pix_u) * (pc[:, 1] - pix_v)
-                - (pc[:, 0] - pix_u) * (pb[:, 1] - pix_v)
-            ) * inv_a
-            w1 = (
-                (pc[:, 0] - pix_u) * (pa[:, 1] - pix_v)
-                - (pa[:, 0] - pix_u) * (pc[:, 1] - pix_v)
-            ) * inv_a
-            w2 = 1.0 - w0 - w1
-
-            z_tri = z_v[tri]  # (P, 3)
-            zinv = jnp.where(z_tri > 1e-8, 1.0 / z_tri, 0.0)
-            zinv_sum = w0 * zinv[:, 0] + w1 * zinv[:, 1] + w2 * zinv[:, 2]
-            zinv_sum = jnp.maximum(zinv_sum, 1e-12)
-            # Perspective-correct barycentrics.
-            c0 = w0 * zinv[:, 0] / zinv_sum
-            c1 = w1 * zinv[:, 1] / zinv_sum
-            c2 = 1.0 - c0 - c1
-
-            def interp(vattr):  # (V, D) -> (P, D)
-                a = vattr[tri[:, 0]]
-                b = vattr[tri[:, 1]]
-                c = vattr[tri[:, 2]]
-                return a * c0[:, None] + b * c1[:, None] + c * c2[:, None]
-
-            m = covered
-            xyz = jnp.where(m[:, None], interp(pts_cam_1), 0.0)
-
-            if uv is not None:
-                uv_pix = interp(uv)
-                color = _sample_texture(tex, uv_pix)
-            elif vertex_color is not None:
-                color = interp(vertex_color)
+            if cull_backfaces:
+                p0 = pts_cam_1[faces[:, 0]]
+                fn = jnp.cross(
+                    pts_cam_1[faces[:, 1]] - p0, pts_cam_1[faces[:, 2]] - p0
+                )
+                valid_f = valid_f & (jnp.sum(fn * p0, axis=-1) < 0)
+            if method == "binned":
+                best_face, covered = _rasterize_binned(
+                    xy_f, z_f, valid_f, H, W, tile, max_faces_per_tile
+                )
             else:
-                color = jnp.full((pix_u.shape[0], 3), 0.5, dtype=jnp.float32)
+                best_face, covered = _rasterize_brute(
+                    xy_f, z_f, valid_f, pix_u, pix_v, face_chunk
+                )
 
-            normal_out = None
+            # ---- interpolation pass. All per-vertex quantities are packed
+            # into ONE (V, D) matrix so each pixel needs exactly three
+            # contiguous row-gathers (gathers dominate this pass on TPU).
+            cols = [xy_1, pts_cam_1]  # u, v, x, y, z
+            c_col = n_col = None
+            off = 5
+            if uv is not None:
+                cols.append(uv)
+                c_col, off = off, off + 2
+            elif vertex_color is not None:
+                cols.append(vertex_color)
+                c_col, off = off, off + 3
             if get_normal:
                 vn_cam = (R_1 @ vnormals.T).T  # (V, 3)
                 if use_light:
-                    # Gouraud: per-vertex diffuse, interpolated
-                    # (Utils.py:203-207).
                     vn_n = vn_cam / jnp.maximum(
                         jnp.linalg.norm(vn_cam, axis=-1, keepdims=True), 1e-12
                     )
                     diff_v = jnp.clip(
                         jnp.sum(vn_n * (-light_dir)[None], axis=-1), 0.0, 1.0
                     )[:, None]
-                    diff = interp(diff_v)[:, 0]
-                    color = color * w_ambient + diff[:, None] * color * w_diffuse
-                n_pix = interp(vn_cam)
+                    cols.append(diff_v)
+                cols.append(vn_cam)
+                n_col = off + (1 if use_light else 0)
+            vdata = jnp.concatenate(cols, axis=-1)  # (V, D)
+
+            tri = faces[best_face]  # (P, 3)
+            va = vdata[tri[:, 0]]  # (P, D)
+            vb = vdata[tri[:, 1]]
+            vc = vdata[tri[:, 2]]
+
+            # Screen barycentrics of the winning face at each pixel.
+            area2 = (vb[:, 0] - va[:, 0]) * (vc[:, 1] - va[:, 1]) - (
+                vc[:, 0] - va[:, 0]
+            ) * (vb[:, 1] - va[:, 1])
+            inv_a = jnp.where(jnp.abs(area2) < 1e-12, 0.0, 1.0 / area2)
+            w0 = (
+                (vb[:, 0] - pix_u) * (vc[:, 1] - pix_v)
+                - (vc[:, 0] - pix_u) * (vb[:, 1] - pix_v)
+            ) * inv_a
+            w1 = (
+                (vc[:, 0] - pix_u) * (va[:, 1] - pix_v)
+                - (va[:, 0] - pix_u) * (vc[:, 1] - pix_v)
+            ) * inv_a
+            w2 = 1.0 - w0 - w1
+
+            zs = jnp.stack([va[:, 4], vb[:, 4], vc[:, 4]], axis=-1)  # (P, 3)
+            zinv = jnp.where(zs > 1e-8, 1.0 / zs, 0.0)
+            zinv_sum = w0 * zinv[:, 0] + w1 * zinv[:, 1] + w2 * zinv[:, 2]
+            zinv_sum = jnp.maximum(zinv_sum, 1e-12)
+            # Perspective-correct barycentrics.
+            c0 = (w0 * zinv[:, 0] / zinv_sum)[:, None]
+            c1 = (w1 * zinv[:, 1] / zinv_sum)[:, None]
+            c2 = 1.0 - c0 - c1
+
+            interp = va * c0 + vb * c1 + vc * c2  # (P, D) all attrs at once
+
+            m = covered
+            xyz = jnp.where(m[:, None], interp[:, 2:5], 0.0)
+
+            if uv is not None:
+                color = _sample_texture(tex, interp[:, c_col : c_col + 2])
+            elif vertex_color is not None:
+                color = interp[:, c_col : c_col + 3]
+            else:
+                color = jnp.full((pix_u.shape[0], 3), 0.5, dtype=jnp.float32)
+
+            normal_out = None
+            if get_normal:
+                if use_light:
+                    # Gouraud: per-vertex diffuse, interpolated
+                    # (Utils.py:203-207).
+                    diff = interp[:, n_col - 1 : n_col]
+                    color = color * w_ambient + diff * color * w_diffuse
+                n_pix = interp[:, n_col : n_col + 3]
                 n_pix = n_pix / jnp.maximum(
                     jnp.linalg.norm(n_pix, axis=-1, keepdims=True), 1e-12
                 )
