@@ -102,7 +102,11 @@ def _eval_faces(coeffs, zinv, px, py):
     w0 = px * coeffs[..., 0] + py * coeffs[..., 1] + coeffs[..., 2]
     w1 = px * coeffs[..., 3] + py * coeffs[..., 4] + coeffs[..., 5]
     w2 = px * coeffs[..., 6] + py * coeffs[..., 7] + coeffs[..., 8]
-    inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (coeffs[..., 9] > 0)
+    # Subpixel epsilon keeps pixels exactly on shared edges covered by
+    # both triangles (float rounding can otherwise make BOTH edge tests
+    # marginally negative -> visible holes along face diagonals).
+    eps = -1e-5
+    inside = (w0 >= eps) & (w1 >= eps) & (w2 >= eps) & (coeffs[..., 9] > 0)
     zinv_sum = w0 * zinv[..., 0] + w1 * zinv[..., 1] + w2 * zinv[..., 2]
     return jnp.where(inside & (zinv_sum > 1e-12), 1.0 / zinv_sum, _BIG)
 
