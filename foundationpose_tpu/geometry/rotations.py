@@ -36,13 +36,15 @@ def so3_exp_map(log_rot: jax.Array) -> jax.Array:
     which maps column vectors as p' = R p.
     """
     theta2 = jnp.sum(log_rot * log_rot, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
-    small = theta < 1e-4
-    # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks near 0.
-    safe_t = jnp.where(small, jnp.ones_like(theta), theta)
+    small = theta2 < 1e-8
+    # Double-where: sqrt input is made constant in the small branch so its
+    # infinite derivative at 0 never reaches the gradient (theta=0 is the
+    # common case — zeroed heads, identity pose corrections).
+    theta2_safe = jnp.where(small, jnp.ones_like(theta2), theta2)
+    safe_t = jnp.sqrt(theta2_safe)
     sin_t_over_t = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(safe_t) / safe_t)
     one_minus_cos_over_t2 = jnp.where(
-        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(safe_t)) / (safe_t * safe_t)
+        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(safe_t)) / theta2_safe
     )
     K = hat(log_rot)
     KK = K @ K

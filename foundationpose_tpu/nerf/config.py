@@ -1,0 +1,75 @@
+"""Neural-object-field configuration (typed version of the reference's
+bundlesdf/config_ycbv.yml / config_linemod.yml — same field names and
+defaults where they survive the redesign)."""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class NerfCfg:
+    # training
+    n_step: int = 1000
+    n_rand: int = 2048  # rays per batch
+    lrate: float = 0.01
+    decay_rate: float = 0.1
+    amp: bool = True  # bf16 compute for the MLP
+    gradient_max_norm: float = 0.1
+
+    # sampling
+    n_samples: int = 128
+    n_samples_around_depth: int = 128
+    candidate_mult: int = 4  # occupancy-sampling candidates per kept sample
+    near: float = 0.1
+    far: float = 2.0
+
+    # hash grid
+    num_levels: int = 16
+    feature_grid_dim: int = 2
+    log2_hashmap_size: int = 22
+    base_res: int = 32
+    finest_res: int = 512  # 256 for the linemod config
+
+    # SH view encoding
+    multires_views: int = 3  # SH degree
+
+    # occupancy grid (replaces the kaolin octree)
+    occ_voxel_size: float = 0.02  # octree_raytracing_voxel_size (normalized units x sc)
+    occ_dilate: int = 1
+
+    # SDF losses
+    rgb_weight: float = 100.0  # 1 for linemod config
+    trunc: float = 0.01  # meters
+    sdf_lambda: float = 5.0
+    neg_trunc_ratio: float = 1.0
+    fs_weight: float = 100.0  # 1000 for linemod config
+    empty_weight: float = 1.0
+    trunc_weight: float = 6000.0
+    fs_sdf: float = 1.0
+    feature_reg_weight: float = 0.1
+    pose_reg_weight: float = 0.0
+    first_frame_weight: float = 1.0
+
+    # per-frame corrections
+    frame_features: int = 2
+    optimize_poses: bool = True
+    max_trans: float = 0.02  # meters
+    max_rot: float = 10.0  # degrees
+
+    # mesh extraction / texture
+    mesh_resolution: float = 0.003  # meters
+    tex_res: int = 1024
+    rays_valid_depth_only: bool = True
+    dilate_mask_size: int = 0
+
+    # scene normalization (filled at runtime like the reference's
+    # cfg['sc_factor']/cfg['translation'], run_nerf.py:32-33)
+    sc_factor: float = 1.0
+    translation: tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    # dbscan
+    dbscan_eps: float = 0.01
+    dbscan_min_samples: int = 1
+
+
+LINEMOD_OVERRIDES = dict(finest_res=256, rgb_weight=1.0, fs_weight=1000.0)

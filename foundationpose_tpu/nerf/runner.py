@@ -1,0 +1,400 @@
+"""Neural-object-field training/extraction — the model-free subsystem.
+
+TPU redesign of bundlesdf/nerf_runner.py (NerfRunner, 1,232 LoC of torch
++ kaolin + custom CUDA). Differences by design:
+
+* One jitted train step: ray-batch gather, occupancy sampling, hash-grid
+  encode, MLP, SDF losses, adam update — a single compiled graph, scaled
+  across chips by sharding the ray batch (data parallel, psum by GSPMD).
+* The kaolin octree becomes a dense occupancy grid (occupancy.py); the
+  torch-ngp CUDA hash grid becomes ops/hashgrid.py (XLA gathers with
+  autodiff scatter-add backward).
+* Everything stays in the OpenCV camera convention — the reference's
+  OpenGL round-trips (run_nerf.py:23, nerf_helpers.py:248,265) vanish.
+* Rays are a struct-of-arrays store with static shapes; batches are
+  random gathers inside the jit.
+
+Loss semantics follow nerf_runner.py:507-680 / nerf_helpers.py:398-428:
+rgb MSE (first-frame weighting), free-space, empty, truncation-SDF,
+feature/pose regularizers; sdf2weights band rendering for color.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import jax_config  # noqa: F401
+from ..meshio import TriMesh
+from ..ops.hashgrid import HashGridCfg, hashgrid_encode, init_hashgrid
+from ..ops.marching import marching_tetrahedra
+from .config import NerfCfg
+from .model import (
+    apply_nerf_mlp,
+    apply_nerf_sdf,
+    init_nerf_mlp,
+    pose_array_matrices,
+    sh_encode,
+)
+from .occupancy import (
+    build_occupancy_grid,
+    occupancy_lookup,
+    ray_box_intersection,
+    sample_occupied,
+)
+from .scene import BAD_DEPTH
+
+logger = logging.getLogger(__name__)
+
+
+def make_frame_rays(rgb, depth, mask, K, frame_id, dilate=0):
+    """Per-frame ray records (nerf_runner.py:247-317, CV convention).
+
+    Returns dict of numpy arrays: dir (N,3) with z=1, rgb (N,3),
+    depth (N,), frame_id (N,). Rays come from mask pixels (optionally
+    dilated); BAD_DEPTH pixels train free space.
+    """
+    H, W = depth.shape
+    m = mask.astype(bool)
+    if dilate > 0:
+        import cv2
+
+        kernel = np.ones((dilate, dilate), np.uint8)
+        m = cv2.dilate(m.astype(np.uint8), kernel).astype(bool)
+    v, u = np.nonzero(m)
+    dirs = np.stack(
+        [(u - K[0, 2]) / K[0, 0], (v - K[1, 2]) / K[1, 1], np.ones_like(u, np.float64)],
+        axis=-1,
+    )
+    return {
+        "dir": dirs.astype(np.float32),
+        "rgb": rgb[v, u].astype(np.float32),
+        "depth": depth[v, u].astype(np.float32),
+        "frame_id": np.full(len(v), frame_id, np.int32),
+    }
+
+
+class NerfRunner:
+    """Train a neural SDF object field from posed RGB-D views and extract
+    a textured mesh (the reference's NerfRunner, redesigned)."""
+
+    def __init__(self, cfg: NerfCfg, rgbs, depths, masks, poses, K, build_pcd,
+                 seed: int = 0):
+        """rgbs (N,H,W,3) float [0,1] preprocessed, depths (N,H,W)
+        normalized, poses (N,4,4) cam_in_ob normalized CV, build_pcd (M,3)
+        normalized object points for the occupancy grid."""
+        self.cfg = cfg
+        self.K = np.asarray(K, np.float64)
+        self.H, self.W = depths.shape[1:3]
+        self.n_frames = len(rgbs)
+        self.poses = np.asarray(poses, np.float64)
+
+        occ_vox = cfg.occ_voxel_size * cfg.sc_factor
+        self.occ = jnp.asarray(
+            build_occupancy_grid(np.asarray(build_pcd), occ_vox, cfg.occ_dilate)
+        )
+
+        rays = [
+            make_frame_rays(
+                rgbs[i],
+                depths[i],
+                masks[i] if masks is not None
+                else (depths[i] != BAD_DEPTH * cfg.sc_factor),
+                self.K,
+                i,
+                dilate=cfg.dilate_mask_size,
+            )
+            for i in range(self.n_frames)
+        ]
+        self.rays = {
+            k: jnp.asarray(np.concatenate([r[k] for r in rays])) for k in rays[0]
+        }
+        self.n_rays = int(self.rays["dir"].shape[0])
+        logger.info("rays: %d over %d frames", self.n_rays, self.n_frames)
+
+        self.grid_cfg = HashGridCfg(
+            n_levels=cfg.num_levels,
+            level_dim=cfg.feature_grid_dim,
+            base_resolution=cfg.base_res,
+            desired_resolution=cfg.finest_res,
+            log2_hashmap_size=cfg.log2_hashmap_size,
+        )
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        input_ch = self.grid_cfg.out_dim
+        input_ch_views = cfg.multires_views**2 + cfg.frame_features
+        self.params = {
+            "grid": init_hashgrid(k1, self.grid_cfg),
+            "mlp": init_nerf_mlp(k2, input_ch, input_ch_views),
+            "features": jax.random.normal(k3, (self.n_frames, cfg.frame_features)),
+            "pose": jnp.zeros((self.n_frames, 6), jnp.float32),
+        }
+        self.c2w = jnp.asarray(self.poses.astype(np.float32))
+
+        schedule = optax.exponential_decay(
+            cfg.lrate, transition_steps=cfg.n_step, decay_rate=cfg.decay_rate
+        )
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(cfg.gradient_max_norm),
+            optax.scale_by_adam(eps=1e-15),
+            optax.scale_by_learning_rate(schedule),
+        )
+        self.opt_state = self.optimizer.init(self.params)
+        self.global_step = 0
+
+    # ----------------------------------------------------------- render
+
+    def _frame_tf(self, params, frame_ids):
+        """Per-frame corrected cam_in_ob (nerf_runner.py:769-771)."""
+        if self.cfg.optimize_poses:
+            corr = pose_array_matrices(
+                params["pose"],
+                self.cfg.max_trans * self.cfg.sc_factor,
+                self.cfg.max_rot,
+            )
+            return corr[frame_ids] @ self.c2w[frame_ids]
+        return self.c2w[frame_ids]
+
+    def _render_rays(self, params, batch, key, perturb=True):
+        """Returns dict: rgb (N,3), sdf (N,S), z_vals (N,S), valid (N,S)."""
+        cfg = self.cfg
+        dirs = batch["dir"]  # (N, 3) cam frame, z = 1
+        depth = batch["depth"]  # (N,) normalized units
+        frame_ids = batch["frame_id"]
+        N = dirs.shape[0]
+        tf = self._frame_tf(params, frame_ids)  # (N, 4, 4)
+
+        rays_o_w = tf[:, :3, 3]
+        rays_d_w = jnp.einsum("nij,nj->ni", tf[:, :3, :3], dirs)
+        far_clip = cfg.far * cfg.sc_factor
+        trunc = cfg.trunc * cfg.sc_factor
+
+        k1, k2 = jax.random.split(key)
+        z_occ, valid_occ = sample_occupied(
+            self.occ,
+            rays_o_w,
+            rays_d_w,
+            k1,
+            cfg.n_samples,
+            depth=depth,
+            trunc=trunc,
+            far_clip=far_clip,
+            candidate_mult=cfg.candidate_mult,
+        )
+
+        z_all = z_occ
+        valid_all = valid_occ
+        if cfg.n_samples_around_depth > 0:
+            S2 = cfg.n_samples_around_depth
+            has_d = (depth >= cfg.near * cfg.sc_factor) & (depth <= far_clip)
+            lo = depth - trunc
+            hi = depth + trunc * cfg.neg_trunc_ratio
+            u = (
+                jnp.arange(S2, dtype=jnp.float32)[None]
+                + (jax.random.uniform(k2, (N, S2)) if perturb else 0.5)
+            ) / S2
+            z_d = lo[:, None] + (hi - lo)[:, None] * u
+            valid_d = has_d[:, None] & jnp.ones((N, S2), bool)
+            z_all = jnp.concatenate([z_all, z_d], axis=-1)
+            valid_all = jnp.concatenate([valid_all, valid_d], axis=-1)
+
+        S = z_all.shape[-1]
+        pts_w = rays_o_w[:, None] + rays_d_w[:, None] * z_all[..., None]  # (N,S,3)
+        valid_all = valid_all & jnp.all(jnp.abs(pts_w) <= 1.0, axis=-1)
+
+        emb = hashgrid_encode(
+            params["grid"], pts_w.reshape(-1, 3), self.grid_cfg
+        ).reshape(N, S, -1)
+        feats = params["features"][frame_ids]  # (N, F)
+        view_w = rays_d_w / jnp.linalg.norm(rays_d_w, axis=-1, keepdims=True)
+        sh = sh_encode(view_w, self.cfg.multires_views)  # (N, deg^2)
+        view_emb = jnp.concatenate([sh, feats], axis=-1)[:, None].repeat(S, axis=1)
+
+        dtype = jnp.bfloat16 if cfg.amp else jnp.float32
+        raw = apply_nerf_mlp(params["mlp"], emb, view_emb, dtype=dtype)  # (N,S,4)
+        sdf = raw[..., 3]
+        rgb_logits = raw[..., :3]
+
+        # sdf2weights band rendering (nerf_runner.py:848-885).
+        sdf_from_depth = (depth[:, None] - z_all) / trunc
+        w = jax.nn.sigmoid(sdf_from_depth * cfg.sdf_lambda) * jax.nn.sigmoid(
+            -sdf_from_depth * cfg.sdf_lambda
+        )
+        band = (z_all - depth[:, None] <= trunc * cfg.neg_trunc_ratio) & (
+            z_all - depth[:, None] >= -trunc
+        )
+        depth_ok = depth[:, None] <= far_clip
+        w = jnp.where(band & depth_ok & valid_all, w, 0.0)
+        w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-10)
+        rgb = jnp.sum(w[..., None] * jax.nn.sigmoid(rgb_logits), axis=-2)
+
+        return {
+            "rgb": rgb,
+            "raw_rgb": rgb_logits,
+            "sdf": sdf,
+            "z_vals": z_all,
+            "valid": valid_all,
+            "weights": w,
+        }
+
+    # ------------------------------------------------------------ losses
+
+    def _loss(self, params, batch, key):
+        cfg = self.cfg
+        out = self._render_rays(params, batch, key, perturb=True)
+        sdf = out["sdf"]
+        z_vals = out["z_vals"]
+        valid = out["valid"]
+        depth = batch["depth"]
+        N, S = sdf.shape
+
+        far_clip = cfg.far * cfg.sc_factor
+        trunc = cfg.trunc * cfg.sc_factor
+        target_d = depth[:, None]
+
+        valid_rays = jnp.any(valid, axis=-1)
+        ray_w = jnp.where(batch["frame_id"] == 0, cfg.first_frame_weight, 1.0)
+        ray_w = ray_w * valid_rays
+        sample_w = ray_w[:, None] * valid
+
+        rgb_loss = cfg.rgb_weight * jnp.mean(
+            (out["rgb"] - batch["rgb"]) ** 2 * ray_w[:, None]
+        )
+
+        # masks (nerf_helpers.py:398-428)
+        valid_depth = (target_d >= cfg.near * cfg.sc_factor) & (target_d <= far_clip)
+        front = z_vals < target_d - trunc
+        back = z_vals > target_d + trunc * cfg.neg_trunc_ratio
+        sdf_mask = (~front) & (~back) & valid_depth
+
+        fs_mask = (target_d > far_clip) & (sdf < cfg.fs_sdf)
+        fs_loss = (
+            jnp.mean(((sdf - cfg.fs_sdf) * fs_mask) ** 2 * sample_w) * 0.5 * cfg.fs_weight
+        )
+        empty_mask = front & (target_d <= far_clip) & (sdf < 1)
+        empty_loss = jnp.mean(jnp.abs(sdf - 1) * empty_mask * sample_w) * cfg.empty_weight
+        sdf_loss = (
+            jnp.mean(((z_vals + sdf * trunc) * sdf_mask - target_d * sdf_mask) ** 2 * sample_w)
+            * 0.5
+            * cfg.trunc_weight
+        )
+
+        loss = rgb_loss + fs_loss + empty_loss + sdf_loss
+        if cfg.frame_features > 0:
+            loss = loss + cfg.feature_reg_weight * jnp.mean(params["features"] ** 2)
+        if cfg.optimize_poses and cfg.pose_reg_weight > 0:
+            loss = loss + cfg.pose_reg_weight * jnp.linalg.norm(params["pose"][1:])
+        aux = {
+            "rgb_loss": rgb_loss,
+            "fs_loss": fs_loss,
+            "empty_loss": empty_loss,
+            "sdf_loss": sdf_loss,
+        }
+        return loss, aux
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _train_step(self, params, opt_state, key):
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.randint(k1, (self.cfg.n_rand,), 0, self.n_rays)
+        batch = {k: v[idx] for k, v in self.rays.items()}
+        (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            params, batch, k2
+        )
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    def train(self, seed: int = 0):
+        key = jax.random.PRNGKey(seed)
+        n = self.cfg.n_step + 1
+        for it in range(n):
+            key, sub = jax.random.split(key)
+            self.params, self.opt_state, loss, aux = self._train_step(
+                self.params, self.opt_state, sub
+            )
+            self.global_step += 1
+            if it % max(1, n // 10) == 0:
+                logger.info(
+                    "step %d/%d loss=%.4f rgb=%.4f sdf=%.4f fs=%.4f empty=%.4f",
+                    it, n, float(loss), float(aux["rgb_loss"]),
+                    float(aux["sdf_loss"]), float(aux["fs_loss"]),
+                    float(aux["empty_loss"]),
+                )
+
+    # ------------------------------------------------------ extraction
+
+    def query_sdf_grid(self, voxel_size: float | None = None, chunk: int = 262144):
+        """Dense SDF grid over [-1,1]^3 (occupancy-culled)."""
+        cfg = self.cfg
+        vs = (voxel_size or cfg.mesh_resolution) * cfg.sc_factor
+        coords = np.arange(-1 + 0.5 * vs, 1.0, vs)
+        G = len(coords)
+        xx, yy, zz = np.meshgrid(coords, coords, coords, indexing="ij")
+        pts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3).astype(np.float32)
+
+        occ_mask = np.asarray(occupancy_lookup(self.occ, jnp.asarray(pts)))
+        sdf = np.full(len(pts), 1.0, np.float32)  # empty space
+        idxs = np.nonzero(occ_mask)[0]
+
+        @jax.jit
+        def q(p):
+            emb = hashgrid_encode(self.params["grid"], p, self.grid_cfg)
+            return apply_nerf_sdf(self.params["mlp"], emb)
+
+        for s in range(0, len(idxs), chunk):
+            sel = idxs[s : s + chunk]
+            p = jnp.asarray(pts[sel])
+            pad = (-len(sel)) % 1024
+            if pad:
+                p = jnp.concatenate([p, jnp.zeros((pad, 3), jnp.float32)])
+            vals = np.asarray(q(p))[: len(sel)]
+            sdf[sel] = vals
+        return sdf.reshape(G, G, G), coords
+
+    def extract_mesh(self, voxel_size: float | None = None, isolevel: float = 0.0) -> TriMesh:
+        """Marching tetrahedra on the SDF grid (nerf_runner.py:1062-1118)."""
+        sdf, coords = self.query_sdf_grid(voxel_size)
+        vs = coords[1] - coords[0]
+        verts, faces = marching_tetrahedra(
+            sdf, iso=isolevel, spacing=(vs, vs, vs), origin=(coords[0],) * 3
+        )
+        return TriMesh(vertices=verts, faces=faces)
+
+    def mesh_to_real_world(self, mesh: TriMesh) -> TriMesh:
+        """Un-normalize + apply the optimized first-frame offset
+        (nerf_helpers.py:215-250, CV convention — no GL flip)."""
+        mesh = mesh.copy()
+        mesh.vertices = mesh.vertices / self.cfg.sc_factor - np.asarray(
+            self.cfg.translation
+        ).reshape(1, 3)
+        offset = self.get_pose_offset()
+        mesh.vertices = mesh.vertices @ offset[:3, :3].T + offset[:3, 3]
+        return mesh
+
+    def get_optimized_poses_in_real_world(self):
+        """Corrected cam_in_ob poses in meters (nerf_helpers.py:224-250)."""
+        corr = np.asarray(
+            pose_array_matrices(
+                self.params["pose"],
+                self.cfg.max_trans * self.cfg.sc_factor,
+                self.cfg.max_rot,
+            )
+        )
+        optimized = corr @ self.poses
+        out = optimized.copy()
+        out[:, :3, 3] /= self.cfg.sc_factor
+        out[:, :3, 3] -= np.asarray(self.cfg.translation)
+        return out
+
+    def get_pose_offset(self):
+        """Offset aligning the optimized first frame back to its original
+        pose, applied to the mesh (nerf_helpers.py:244-249)."""
+        original = self.poses.copy()
+        original[:, :3, 3] /= self.cfg.sc_factor
+        original[:, :3, 3] -= np.asarray(self.cfg.translation)
+        optimized = self.get_optimized_poses_in_real_world()
+        return np.linalg.inv(optimized[0]) @ original[0]

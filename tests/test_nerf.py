@@ -1,0 +1,162 @@
+"""Model-free subsystem tests: occupancy sampling, marching tetrahedra,
+and a synthetic-scene end-to-end reconstruction smoke test."""
+import dataclasses
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from foundationpose_tpu.nerf.occupancy import (
+    build_occupancy_grid,
+    ray_box_intersection,
+    occupancy_lookup,
+    sample_occupied,
+)
+from foundationpose_tpu.ops.marching import marching_tetrahedra
+
+
+class TestOccupancy:
+    def test_build_grid_marks_points(self):
+        pts = np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]])
+        occ = build_occupancy_grid(pts, 0.1, dilate=0)
+        assert occ[10, 10, 10]  # point at origin -> voxel (1+0)/0.1 = 10
+        assert occ[15, 15, 15]
+        assert occ.sum() == 2
+
+    def test_dilation_grows(self):
+        pts = np.array([[0.0, 0.0, 0.0]])
+        occ0 = build_occupancy_grid(pts, 0.1, dilate=0)
+        occ1 = build_occupancy_grid(pts, 0.1, dilate=1)
+        assert occ1.sum() == 27
+        assert (occ1 | occ0).sum() == occ1.sum()
+
+    def test_ray_box(self):
+        o = jnp.array([[0.0, 0.0, -2.0], [5.0, 0.0, 0.0]])
+        d = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+        tmin, tmax, hit = ray_box_intersection(o, d)
+        assert bool(hit[0]) and not bool(hit[1])
+        np.testing.assert_allclose(tmin[0], 1.0, atol=1e-5)
+        np.testing.assert_allclose(tmax[0], 3.0, atol=1e-5)
+
+    def test_lookup(self):
+        pts = np.array([[0.0, 0.0, 0.0]])
+        occ = jnp.asarray(build_occupancy_grid(pts, 0.1, dilate=0))
+        assert bool(occupancy_lookup(occ, jnp.array([0.05, 0.05, 0.05])))
+        assert not bool(occupancy_lookup(occ, jnp.array([0.5, 0.5, 0.5])))
+        assert not bool(occupancy_lookup(occ, jnp.array([2.0, 0.0, 0.0])))
+
+    def test_sample_occupied_inside(self):
+        # occupied slab around z in [-0.1, 0.1]; ray along +z from outside
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-1, 1, (5000, 3))
+        pts[:, 2] = rng.uniform(-0.08, 0.08, 5000)
+        occ = jnp.asarray(build_occupancy_grid(pts, 0.05, dilate=0))
+        o = jnp.array([[0.0, 0.0, -1.5]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        z, valid = sample_occupied(occ, o, d, jax.random.PRNGKey(0), 32)
+        z = np.asarray(z)[0]
+        valid = np.asarray(valid)[0]
+        assert valid.sum() > 16
+        pz = -1.5 + z[valid]
+        assert (np.abs(pz) < 0.15).all()  # samples inside the slab
+
+    def test_sample_respects_depth_clip(self):
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(-0.9, 0.9, (5000, 3))
+        occ = jnp.asarray(build_occupancy_grid(pts, 0.1, dilate=1))
+        o = jnp.array([[0.0, 0.0, -1.5]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        depth = jnp.array([1.0])  # clip samples to t <= 1.0 + trunc
+        z, valid = sample_occupied(
+            occ, o, d, jax.random.PRNGKey(0), 32, depth=depth, trunc=0.05,
+            far_clip=10.0,
+        )
+        assert np.asarray(z)[0][np.asarray(valid)[0]].max() <= 1.05 + 1e-5
+
+
+class TestMarchingTetrahedra:
+    def test_sphere(self):
+        g = np.linspace(-1, 1, 48)
+        xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
+        sdf = np.sqrt(xx**2 + yy**2 + zz**2) - 0.5
+        sp = g[1] - g[0]
+        verts, faces = marching_tetrahedra(sdf, 0.0, (sp, sp, sp), (g[0], g[0], g[0]))
+        assert len(verts) > 100 and len(faces) > 100
+        r = np.linalg.norm(verts, axis=-1)
+        np.testing.assert_allclose(r.mean(), 0.5, atol=0.02)
+        assert r.std() < 0.02
+
+    def test_outward_orientation(self):
+        g = np.linspace(-1, 1, 32)
+        xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
+        sdf = np.sqrt(xx**2 + yy**2 + zz**2) - 0.5
+        sp = g[1] - g[0]
+        verts, faces = marching_tetrahedra(sdf, 0.0, (sp, sp, sp), (g[0], g[0], g[0]))
+        v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+        n = np.cross(v1 - v0, v2 - v0)
+        c = (v0 + v1 + v2) / 3
+        frac_outward = (np.sum(n * c, axis=-1) > 0).mean()
+        assert frac_outward > 0.95
+
+    def test_empty(self):
+        sdf = np.ones((8, 8, 8))
+        verts, faces = marching_tetrahedra(sdf)
+        assert len(verts) == 0 and len(faces) == 0
+
+
+@pytest.mark.slow
+class TestNeuralObjectField:
+    def test_end_to_end_reconstruction(self):
+        """Synthetic box scene -> train a few hundred steps -> mesh size
+        in the right ballpark and texture baked."""
+        from foundationpose_tpu.meshio import make_box
+        from foundationpose_tpu.ops import render_mesh
+        from foundationpose_tpu.geometry.icosphere import sample_views_icosphere
+        from foundationpose_tpu.nerf import NerfCfg, run_neural_object_field
+
+        box = make_box(np.array([0.2, 0.2, 0.2]))
+        rng = np.random.default_rng(0)
+        box.vertex_colors = rng.integers(50, 255, (8, 3)).astype(np.uint8)
+        K = np.array([[120.0, 0, 64.0], [0, 120.0, 64.0], [0, 0, 1.0]], np.float32)
+        H = W = 128
+
+        views = sample_views_icosphere(n_views=4)  # 12 views
+        cam_in_obs = views.copy()
+        cam_in_obs[:, :3, 3] *= 0.6  # radius 0.6 m
+        ob_in_cams = np.linalg.inv(cam_in_obs)
+        out = render_mesh(
+            jnp.asarray(box.vertices.astype(np.float32)),
+            jnp.asarray(box.faces.astype(np.int32)),
+            jnp.asarray(ob_in_cams.astype(np.float32)),
+            jnp.asarray(K),
+            out_hw=(H, W),
+            vertex_color=jnp.asarray(box.vertex_colors.astype(np.float32) / 255),
+            vnormals=jnp.asarray(box.vertex_normals.astype(np.float32)),
+            use_light=True,
+            pose_block=12,
+        )
+        rgbs = (np.asarray(out.color) * 255).astype(np.uint8)
+        depths = np.asarray(out.depth).astype(np.float32)
+        masks = np.asarray(out.mask).astype(np.uint8)
+
+        cfg = NerfCfg(
+            n_step=120,
+            n_rand=512,
+            n_samples=32,
+            n_samples_around_depth=32,
+            num_levels=8,
+            finest_res=128,
+            log2_hashmap_size=15,
+            mesh_resolution=0.01,
+            tex_res=256,
+            amp=False,
+        )
+        mesh, runner = run_neural_object_field(
+            cfg, K, rgbs, depths, masks, cam_in_obs
+        )
+        assert len(mesh.vertices) > 50
+        # Real-world size ~ the 0.2 box (loose: SDF after 120 steps).
+        ext = mesh.bounds()[1] - mesh.bounds()[0]
+        assert (ext > 0.1).all() and (ext < 0.45).all()
+        assert mesh.texture is not None and mesh.uv is not None
+        assert mesh.texture.shape == (256, 256, 3)
