@@ -308,11 +308,14 @@ class NerfRunner:
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux
 
-    def train(self, seed: int = 0):
+    def train(self, seed: int = 0, ckpt_dir: str | None = None, i_weights: int = 500):
+        """Train loop with optional periodic orbax checkpoints
+        (cadence like nerf_runner.py:593-594; resume via .resume())."""
         key = jax.random.PRNGKey(seed)
         n = self.cfg.n_step + 1
-        for it in range(n):
-            key, sub = jax.random.split(key)
+        for it in range(self.global_step, n):
+            # fold_in keeps per-step randomness reproducible across resumes
+            sub = jax.random.fold_in(key, it)
             self.params, self.opt_state, loss, aux = self._train_step(
                 self.params, self.opt_state, sub
             )
@@ -324,6 +327,32 @@ class NerfRunner:
                     float(aux["sdf_loss"]), float(aux["fs_loss"]),
                     float(aux["empty_loss"]),
                 )
+            if ckpt_dir is not None and it > 0 and it % i_weights == 0:
+                self.save_weights(ckpt_dir)
+        if ckpt_dir is not None:
+            self.save_weights(ckpt_dir)
+
+    def save_weights(self, ckpt_dir: str):
+        from ..utils.checkpoint import save_train_state
+
+        save_train_state(
+            ckpt_dir, self.global_step,
+            {"params": self.params, "opt_state": self.opt_state},
+        )
+
+    def resume(self, ckpt_dir: str, step: int | None = None):
+        """Restore params/optimizer and continue from the saved step —
+        the resume path the reference never implemented (SURVEY.md §5.4)."""
+        from ..utils.checkpoint import load_train_state
+
+        step, state = load_train_state(
+            ckpt_dir, step,
+            template={"params": self.params, "opt_state": self.opt_state},
+        )
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.global_step = step
+        logger.info("resumed from step %d", step)
 
     # ------------------------------------------------------ extraction
 

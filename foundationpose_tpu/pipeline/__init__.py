@@ -1,5 +1,5 @@
 from .. import jax_config  # noqa: F401
-from .config import EstimatorCfg, RefinerCfg, ScorerCfg
+from .config import EstimatorCfg, RefinerCfg, ScorerCfg, RasterCfg
 from .mesh_tensors import MeshTensors, make_mesh_tensors
 from .crops import make_crop_inputs
 from .refiner import refine_poses, apply_pose_delta

@@ -12,6 +12,17 @@ from ..models.networks import RefineNetCfg, ScoreNetCfg
 
 
 @dataclasses.dataclass(frozen=True)
+class RasterCfg:
+    """Rasterizer strategy knobs (see ops/rasterizer.py)."""
+
+    method: str = "auto"  # auto | brute | binned
+    tile: int = 16
+    max_faces_per_tile: int = 512
+    cull_backfaces: bool = False  # exact for closed meshes; halves fine work
+    pose_block: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
 class RefinerCfg:
     net: RefineNetCfg = dataclasses.field(default_factory=RefineNetCfg)
     input_res: int = 160
@@ -25,6 +36,7 @@ class RefinerCfg:
     rot_normalizer: float = 0.34906585  # 20 degrees in radians
     xyz_invalid_z: float = 0.001  # PairH5Dataset threshold (h5_dataset.py:94)
     compute_dtype: str = "bfloat16"
+    raster: RasterCfg = dataclasses.field(default_factory=RasterCfg)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,6 +48,7 @@ class ScorerCfg:
     xyz_invalid_z: float = 0.1  # TripletH5Dataset threshold (h5_dataset.py:151)
     mode: str = "network"  # or "depth" (classical fallback, no weights needed)
     compute_dtype: str = "bfloat16"
+    raster: RasterCfg = dataclasses.field(default_factory=RasterCfg)
 
 
 @dataclasses.dataclass(frozen=True)

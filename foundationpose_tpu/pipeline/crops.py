@@ -33,6 +33,7 @@ def make_crop_inputs(
     normalize_xyz: bool,
     invalid_z: float,
     use_light: bool = True,
+    raster=None,
 ):
     """Returns (A, B, tf_to_crops): A/B are (N, res, res, 6) f32."""
     res = int(input_res)
@@ -40,6 +41,15 @@ def make_crop_inputs(
         poses, K, crop_ratio, res, mesh_diameter
     )  # (N, 3, 3)
 
+    raster_kw = {}
+    if raster is not None:
+        raster_kw = dict(
+            method=raster.method,
+            tile=raster.tile,
+            max_faces_per_tile=raster.max_faces_per_tile,
+            cull_backfaces=raster.cull_backfaces,
+            pose_block=raster.pose_block,
+        )
     rend = render_mesh(
         mesh.pos,
         mesh.faces,
@@ -52,6 +62,7 @@ def make_crop_inputs(
         tex=mesh.tex,
         vnormals=mesh.vnormals,
         use_light=use_light,
+        **raster_kw,
     )
     rgb_a = rend.color  # (N, res, res, 3) [0,1]
     xyz_a = rend.xyz

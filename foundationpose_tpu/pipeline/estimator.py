@@ -219,8 +219,32 @@ class FoundationPose:
         return best_pose
 
     def compute_add_err_to_gt_pose(self, poses) -> np.ndarray:
-        """GT hook, stub like the reference (estimater.py:243-247)."""
-        return -np.ones(len(poses))
+        """GT hook. The reference stubs this to -1 (estimater.py:243-247);
+        here it computes real ADD against self.gt_pose when set."""
+        if self.gt_pose is None:
+            return -np.ones(len(poses))
+        pts = np.asarray(self.pts)
+        gt = np.asarray(self.gt_pose) @ np.linalg.inv(self.get_tf_to_centered_mesh())
+        poses = np.asarray(poses)
+        gt_pts = pts @ gt[:3, :3].T + gt[:3, 3]
+        pred = np.einsum("nij,pj->npi", poses[:, :3, :3], pts) + poses[:, None, :3, 3]
+        return np.linalg.norm(pred - gt_pts[None], axis=-1).mean(axis=-1)
+
+    def save_weights(self, refiner_path: str | None = None, scorer_path: str | None = None):
+        from ..utils.checkpoint import save_params
+
+        if refiner_path:
+            save_params(refiner_path, self.refiner_params)
+        if scorer_path:
+            save_params(scorer_path, self.scorer_params)
+
+    def load_weights(self, refiner_path: str | None = None, scorer_path: str | None = None):
+        from ..utils.checkpoint import load_params
+
+        if refiner_path:
+            self.refiner_params = load_params(refiner_path)
+        if scorer_path:
+            self.scorer_params = load_params(scorer_path)
 
     def track_one(self, rgb, depth, K, iteration=2, extra=None) -> np.ndarray:
         """Per-frame tracking: refine-only from pose_last (estimater.py:250-268)."""

@@ -29,6 +29,8 @@ def apply_pose_delta(
     rot: jax.Array,
     cfg: RefinerCfg,
     mesh_diameter: jax.Array,
+    K: jax.Array | None = None,
+    tf_to_crops: jax.Array | None = None,
 ) -> jax.Array:
     """Network outputs -> updated poses (predict_pose_refine.py:195-231)."""
     if cfg.trans_rep == "tracknet":
@@ -37,6 +39,23 @@ def apply_pose_delta(
         else:
             tn = jnp.asarray(cfg.trans_normalizer, jnp.float32)
             trans_delta = jnp.tanh(trans) * tn
+    elif cfg.trans_rep == "deepim":
+        # uv shift in crop pixels + relative z scale
+        # (predict_pose_refine.py:201-215).
+        from ..geometry.projection import invert_affine2d, project_points
+
+        t_a = poses[..., :3, 3]
+        z_pred = trans[:, 2] * t_a[:, 2]
+        uv_a = project_points(t_a, K)  # (N, 2) full-image px
+        uv_a_crop = (
+            tf_to_crops[:, :2, :2] @ uv_a[..., None]
+        )[..., 0] + tf_to_crops[:, :2, 2]
+        uv_pred_crop = uv_a_crop + trans[:, :2] * cfg.input_res
+        inv_tf = invert_affine2d(tf_to_crops)
+        uv_pred = (inv_tf[:, :2, :2] @ uv_pred_crop[..., None])[..., 0] + inv_tf[:, :2, 2]
+        x = (uv_pred[:, 0] - K[0, 2]) / K[0, 0] * z_pred
+        y = (uv_pred[:, 1] - K[1, 2]) / K[1, 1] * z_pred
+        trans_delta = jnp.stack([x, y, z_pred], axis=-1) - t_a
     else:
         raise NotImplementedError(f"trans_rep={cfg.trans_rep}")
 
@@ -78,10 +97,12 @@ def refine_poses(
             crop_ratio=cfg.crop_ratio,
             normalize_xyz=cfg.normalize_xyz,
             invalid_z=cfg.xyz_invalid_z,
+            raster=cfg.raster,
         )
         out = apply_refine_net(params, cfg.net, a, b, dtype=dtype)
         new_poses = apply_pose_delta(
-            cur_poses, out["trans"], out["rot"], cfg, mesh_diameter
+            cur_poses, out["trans"], out["rot"], cfg, mesh_diameter,
+            K=K, tf_to_crops=_tf,
         )
         return new_poses, None
 

@@ -34,6 +34,8 @@ def _depth_alignment_scores(a: jax.Array, b: jax.Array) -> jax.Array:
     n_both = jnp.sum(both, axis=(1, 2)).astype(jnp.float32)
     n_either = jnp.maximum(jnp.sum(either, axis=(1, 2)).astype(jnp.float32), 1.0)
     mean_d = jnp.sum(jnp.where(both, d, 0.0), axis=(1, 2)) / jnp.maximum(n_both, 1.0)
+    # A hypothesis with no overlap must rank below any overlapping one.
+    mean_d = jnp.where(n_both > 0, mean_d, 1e3)
     iou = n_both / n_either
     return iou - mean_d * 10.0
 
@@ -62,6 +64,7 @@ def score_poses(
         crop_ratio=cfg.crop_ratio,
         normalize_xyz=cfg.normalize_xyz,
         invalid_z=cfg.xyz_invalid_z,
+        raster=cfg.raster,
     )
     if cfg.mode == "depth":
         scores = _depth_alignment_scores(a, b)
@@ -71,3 +74,70 @@ def score_poses(
     if valid is not None:
         scores = jnp.where(valid, scores, -jnp.inf)
     return scores
+
+
+def score_poses_tournament(
+    params,
+    cfg: ScorerCfg,
+    mesh: MeshTensors,
+    poses: jax.Array,
+    K: jax.Array,
+    rgb: jax.Array,
+    xyz_map: jax.Array,
+    mesh_diameter: jax.Array,
+    valid: jax.Array | None = None,
+    group_size: int = 252,
+) -> jax.Array:
+    """Hierarchical tournament for very large hypothesis sets.
+
+    Replicates ScorePredictor's while-loop (predict_score.py:202-213):
+    when N exceeds group_size, hypotheses are scored in chunks, chunk
+    winners advance, and the final round's scores get +100 so winners
+    outrank everything eliminated earlier. For N <= group_size this is a
+    single score_poses pass (the reference's common case at N=252).
+    """
+    import numpy as np
+
+    N = poses.shape[0]
+    if N <= group_size:
+        return score_poses(
+            params, cfg, mesh, poses, K, rgb, xyz_map, mesh_diameter, valid=valid
+        )
+
+    scores_global = jnp.zeros((N,), jnp.float32)
+    global_ids = np.arange(N)
+    cur = poses
+    cur_valid = valid
+    while True:
+        n = cur.shape[0]
+        pad = (-n) % group_size
+        if pad:
+            cur = jnp.concatenate([cur, cur[:pad]], axis=0)
+            v = cur_valid if cur_valid is not None else jnp.ones((n,), bool)
+            cur_valid = jnp.concatenate([v, jnp.zeros((pad,), bool)])
+        elif cur_valid is None:
+            cur_valid = jnp.ones((n,), bool)
+        n_chunks = cur.shape[0] // group_size
+        scores = []
+        for c in range(n_chunks):
+            s = score_poses(
+                params, cfg, mesh,
+                cur[c * group_size : (c + 1) * group_size],
+                K, rgb, xyz_map, mesh_diameter,
+                valid=cur_valid[c * group_size : (c + 1) * group_size],
+            )
+            scores.append(s)
+        scores_padded = jnp.concatenate(scores)  # (n_chunks * group_size,)
+        if n_chunks == 1:
+            scores_global = scores_global.at[global_ids].set(
+                scores_padded[: len(global_ids)] + 100.0
+            )
+            break
+        winners = np.asarray(
+            jnp.argmax(scores_padded.reshape(n_chunks, group_size), axis=-1)
+        ) + np.arange(n_chunks) * group_size
+        winners = winners[winners < n]
+        global_ids = global_ids[winners]
+        cur = poses[jnp.asarray(global_ids)]
+        cur_valid = valid[jnp.asarray(global_ids)] if valid is not None else None
+    return scores_global
