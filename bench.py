@@ -52,7 +52,14 @@ def main():
     depth = np.asarray(out.depth[0]).astype(np.float32)
     mask = np.asarray(out.mask[0]).astype(np.uint8)
 
-    cfg = EstimatorCfg(scorer=ScorerCfg(mode="network"))
+    from foundationpose_tpu.pipeline import RasterCfg, RefinerCfg
+
+    # Closed consistently-wound mesh -> back-face culling is exact.
+    raster = RasterCfg(tile=32, max_faces_per_tile=256, cull_backfaces=True)
+    cfg = EstimatorCfg(
+        refiner=RefinerCfg(raster=raster),
+        scorer=ScorerCfg(mode="network", raster=raster),
+    )
     est = FoundationPose(mesh=mesh, cfg=cfg)
     n_hyp = int(np.asarray(est.hyp_valid).sum())
 
@@ -65,6 +72,21 @@ def main():
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
     hyp_per_s = n_hyp / t
+
+    # Secondary: tracking FPS (refine-only, 2 iterations/frame).
+    est.track_one(rgb, depth, K, iteration=2)
+    t0 = time.perf_counter()
+    n_track = 20
+    for _ in range(n_track):
+        est.track_one(rgb, depth, K, iteration=2)
+    track_fps = n_track / (time.perf_counter() - t0)
+    import sys
+
+    print(
+        f"[secondary] tracking_fps={track_fps:.1f} (target >=30), "
+        f"register_s={t:.3f}",
+        file=sys.stderr,
+    )
 
     print(
         json.dumps(

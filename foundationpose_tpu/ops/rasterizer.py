@@ -280,7 +280,7 @@ def render_mesh(
     face_chunk: int = 512,
     pose_block: int = 16,
     method: str = "auto",
-    tile: int = 16,
+    tile: int = 32,
     max_faces_per_tile: int = 512,
     cull_backfaces: bool = False,
 ) -> RenderOutput:
@@ -306,7 +306,10 @@ def render_mesh(
     K = K.astype(jnp.float32)
 
     if method == "auto":
-        if F > 1536 and H % tile == 0 and W % tile == 0:
+        # binned wins above ~1.5k faces; above ~6k faces per-tile overflow
+        # becomes possible at the default K, so fall back to exact brute
+        # unless the caller explicitly chose binned with a bigger K.
+        if 1536 < F <= 12 * max_faces_per_tile and H % tile == 0 and W % tile == 0:
             method = "binned"
         else:
             method = "brute"
@@ -318,7 +321,9 @@ def render_mesh(
             [faces, jnp.zeros((pad_f, 3), dtype=faces.dtype)], axis=0
         )
 
-    # Pad poses to a multiple of pose_block.
+    # Pad poses to a multiple of pose_block (never above N itself —
+    # single-pose tracking must not render a whole padded block).
+    pose_block = min(pose_block, max(1, N))
     pad_n = (-N) % pose_block
     if pad_n:
         eye = jnp.broadcast_to(jnp.eye(4, dtype=poses.dtype), (pad_n, 4, 4))

@@ -76,6 +76,56 @@ def warp_perspective(
     return jax.vmap(one)(Minv)
 
 
+def _axis_interp_matrix(src_coords: jax.Array, size: int, mode: str) -> jax.Array:
+    """Per-output-position interpolation weights over a source axis.
+
+    src_coords: (N, out) continuous source coordinates. Returns
+    (N, out, size) row-stochastic weights (zero rows when out of bounds).
+    """
+    idx = jax.lax.broadcasted_iota(jnp.float32, (1, 1, size), 2)
+    if mode == "bilinear":
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(src_coords[..., None] - idx))
+        inb = (src_coords >= -1.0) & (src_coords <= size)
+    else:  # nearest
+        w = (jnp.round(src_coords)[..., None] == idx).astype(jnp.float32)
+        inb = (src_coords >= -0.5) & (src_coords <= size - 0.5)
+    return w * inb[..., None].astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("out_hw", "mode"))
+def warp_crop(
+    img: jax.Array, M: jax.Array, out_hw: tuple[int, int], mode: str = "bilinear"
+) -> jax.Array:
+    """Axis-aligned affine warp (crop transforms) as two MXU matmuls.
+
+    The estimator's crop homographies are pure scale+translate
+    (compute_crop_window_tf), so dst(i,j) = src(vy(i), ux(j)) is
+    SEPARABLE: out = R @ img @ C with banded interpolation matrices R
+    (N, oh, H) and C (N, W, ow). On TPU this replaces tens of millions
+    of per-pixel gathers (the generic warp_perspective path) with dense
+    matmuls — an order of magnitude faster for the 252-crop batches.
+
+    img: (H, W, C) shared source; M: (N, 3, 3) src->dst affine with zero
+    off-diagonal terms. Exact for both modes (one-hot rows for nearest).
+    """
+    out_h, out_w = out_hw
+    H, W, Cch = img.shape
+    img = img.astype(jnp.float32)
+    Minv = jnp.linalg.inv(M.astype(jnp.float32))
+    jj = jnp.arange(out_w, dtype=jnp.float32)
+    ii = jnp.arange(out_h, dtype=jnp.float32)
+    # src coords per output row/col (axis-aligned: no cross terms)
+    v_src = Minv[:, 1, 1, None] * ii[None] + Minv[:, 1, 2, None]  # (N, oh)
+    u_src = Minv[:, 0, 0, None] * jj[None] + Minv[:, 0, 2, None]  # (N, ow)
+    R = _axis_interp_matrix(v_src, H, mode)  # (N, oh, H)
+    Cm = _axis_interp_matrix(u_src, W, mode)  # (N, ow, W)
+    t1 = jnp.einsum("nih,hwc->niwc", R, img, preferred_element_type=jnp.float32)
+    out = jnp.einsum(
+        "niwc,njw->nijc", t1, Cm, preferred_element_type=jnp.float32
+    )
+    return out
+
+
 @partial(jax.jit, static_argnames=("out_hw", "mode"))
 def warp_perspective_batch(
     imgs: jax.Array, M: jax.Array, out_hw: tuple[int, int], mode: str = "bilinear"

@@ -16,9 +16,9 @@ class RasterCfg:
     """Rasterizer strategy knobs (see ops/rasterizer.py)."""
 
     method: str = "auto"  # auto | brute | binned
-    tile: int = 16
-    max_faces_per_tile: int = 512
-    cull_backfaces: bool = False  # exact for closed meshes; halves fine work
+    tile: int = 32
+    max_faces_per_tile: int = 512  # raise for dense meshes (overflow drops faces)
+    cull_backfaces: bool = False  # exact speedup for closed, consistently wound meshes
     pose_block: int = 16
 
 
@@ -60,4 +60,8 @@ class EstimatorCfg:
     cluster_angle_deg: float = 30.0
     rot_grid_pad: int = 4  # pad hypothesis count to a multiple of this
     max_tex_size: int | None = None
+    # Decimate the RENDER mesh below this face count (None = never).
+    # 160x160 crops resolve nothing below ~1/160 of the object extent, so
+    # this bounds rasterization cost on dense meshes without accuracy loss.
+    max_render_faces: int | None = 8192
     zfar: float = float("inf")

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from .. import jax_config  # noqa: F401
 from ..geometry.projection import compute_crop_window_tf
 from ..ops.rasterizer import render_mesh
-from ..ops.warp import warp_perspective
+from ..ops.warp import warp_crop
 from .mesh_tensors import MeshTensors
 
 
@@ -67,8 +67,9 @@ def make_crop_inputs(
     rgb_a = rend.color  # (N, res, res, 3) [0,1]
     xyz_a = rend.xyz
 
-    rgb_b = warp_perspective(rgb, tf_to_crops, (res, res), mode="bilinear")
-    xyz_b = warp_perspective(xyz_map, tf_to_crops, (res, res), mode="nearest")
+    # Crop tfs are axis-aligned -> separable MXU warp (ops/warp.py).
+    rgb_b = warp_crop(rgb, tf_to_crops, (res, res), mode="bilinear")
+    xyz_b = warp_crop(xyz_map, tf_to_crops, (res, res), mode="nearest")
 
     t = poses[:, :3, 3][:, None, None, :]  # (N, 1, 1, 3)
 

@@ -29,14 +29,11 @@ import numpy as np
 from .. import jax_config  # noqa: F401
 from ..geometry.clustering import cluster_poses
 from ..geometry.icosphere import sample_views_icosphere
-from ..geometry.projection import depth_to_xyz_map, guess_translation
+from ..geometry.projection import guess_translation
 from ..meshio import TriMesh, compute_mesh_diameter, voxel_downsample
 from ..models.networks import init_refine_net, init_score_net
-from ..ops.depth_filters import bilateral_filter_depth, erode_depth
 from .config import EstimatorCfg
 from .mesh_tensors import make_mesh_tensors
-from .refiner import refine_poses
-from .scorer import score_poses
 
 logger = logging.getLogger(__name__)
 
@@ -46,13 +43,6 @@ def _rotation_about_z(angle: float) -> np.ndarray:
     out = np.eye(4)
     out[:2, :2] = [[c, -s], [s, c]]
     return out
-
-
-@jax.jit
-def _preprocess_depth(depth: jax.Array) -> jax.Array:
-    """erode + bilateral, the register/track prologue (estimater.py:173-174)."""
-    d = erode_depth(depth, radius=2)
-    return bilateral_filter_depth(d, radius=2)
 
 
 class FoundationPose:
@@ -119,7 +109,24 @@ class FoundationPose:
         self.pts = jnp.asarray(pts, dtype=jnp.float32)
         self.normals = jnp.asarray(normals, dtype=jnp.float32)
         self.mesh = mesh
-        self.mesh_tensors = make_mesh_tensors(mesh, self.cfg.max_tex_size)
+        render_mesh_src = mesh
+        if (
+            self.cfg.max_render_faces is not None
+            and len(mesh.faces) > self.cfg.max_render_faces
+        ):
+            from ..meshio import decimate_vertex_clustering
+
+            vox = self.diameter / 160.0  # crop-pixel scale
+            render_mesh_src = decimate_vertex_clustering(mesh, vox)
+            while len(render_mesh_src.faces) > self.cfg.max_render_faces:
+                vox *= 1.4
+                render_mesh_src = decimate_vertex_clustering(mesh, vox)
+            logger.info(
+                "render mesh decimated: %d -> %d faces",
+                len(mesh.faces),
+                len(render_mesh_src.faces),
+            )
+        self.mesh_tensors = make_mesh_tensors(render_mesh_src, self.cfg.max_tex_size)
 
         if symmetry_tfs is None:
             self.symmetry_tfs = np.eye(4)[None]
@@ -161,61 +168,49 @@ class FoundationPose:
         logger.info("rotation grid: %d (+%d pad)", n, pad)
 
     # --------------------------------------------------------- inference
-
-    def _to_device_frame(self, rgb, depth, K):
-        rgb_j = jnp.asarray(rgb, dtype=jnp.float32) / 255.0
-        depth_j = _preprocess_depth(jnp.asarray(depth, dtype=jnp.float32))
-        K_j = jnp.asarray(K, dtype=jnp.float32)
-        xyz_map = depth_to_xyz_map(depth_j, K_j, zfar=self.cfg.zfar)
-        return rgb_j, depth_j, K_j, xyz_map
+    #
+    # register/track each run as ONE fused jit (pipeline/graph.py): a
+    # single dispatch + result fetch per frame, which is what keeps
+    # per-frame latency sane when the TPU sits behind an RPC tunnel.
 
     def register(self, K, rgb, depth, ob_mask, ob_id=None, iteration=5) -> np.ndarray:
         """Single-frame pose estimation (estimater.py:159-240)."""
-        rgb_j, depth_j, K_j, xyz_map = self._to_device_frame(rgb, depth, K)
-        depth_f = np.asarray(depth_j)
+        from .graph import register_graph
 
-        valid = (depth_f >= 0.001) & (np.asarray(ob_mask) > 0)
+        mask_np = np.asarray(ob_mask)
+        valid = (np.asarray(depth) >= 0.001) & (mask_np > 0)
         if valid.sum() < 4:
+            # Degenerate input: identity rotation at the translation guess
+            # (estimater.py:184-189; raw-depth median, filtering skipped).
             logger.info("valid region too small; returning translation guess")
             pose = np.eye(4)
-            pose[:3, 3] = guess_translation(depth_f, np.asarray(ob_mask), np.asarray(K))
+            pose[:3, 3] = guess_translation(
+                np.asarray(depth), mask_np, np.asarray(K)
+            )
             return pose
 
-        center = guess_translation(depth_f, np.asarray(ob_mask), np.asarray(K))
-        poses = self.rot_grid.at[:, :3, 3].set(
-            jnp.asarray(center, dtype=jnp.float32)[None]
-        )
-
-        diameter = jnp.float32(self.diameter)
-        refined = refine_poses(
+        order, refined, scores, _center, _n = register_graph(
             self.refiner_params,
-            self.cfg.refiner,
+            self.scorer_params,
+            self.cfg,
             self.mesh_tensors,
-            poses,
-            K_j,
-            rgb_j,
-            xyz_map,
-            diameter,
+            self.rot_grid,
+            self.hyp_valid,
+            jnp.asarray(K, dtype=jnp.float32),
+            jnp.asarray(rgb, dtype=jnp.uint8),
+            jnp.asarray(depth, dtype=jnp.float32),
+            jnp.asarray(mask_np),
+            jnp.float32(self.diameter),
             iterations=int(iteration),
         )
-        scores = score_poses(
-            self.scorer_params,
-            self.cfg.scorer,
-            self.mesh_tensors,
-            refined,
-            K_j,
-            rgb_j,
-            xyz_map,
-            diameter,
-            valid=self.hyp_valid,
+        self.poses = refined
+        self.scores = scores
+        self.pose_last = refined[0]
+        self.best_id = int(order[0])
+        best_pose = (
+            np.asarray(self.pose_last, dtype=np.float64)
+            @ self.get_tf_to_centered_mesh()
         )
-        order = jnp.argsort(-scores)
-        best = order[0]
-        self.poses = refined[order]
-        self.scores = scores[order]
-        self.pose_last = refined[best]
-        self.best_id = int(best)
-        best_pose = np.asarray(self.pose_last, dtype=np.float64) @ self.get_tf_to_centered_mesh()
         return best_pose
 
     def compute_add_err_to_gt_pose(self, poses) -> np.ndarray:
@@ -248,21 +243,22 @@ class FoundationPose:
 
     def track_one(self, rgb, depth, K, iteration=2, extra=None) -> np.ndarray:
         """Per-frame tracking: refine-only from pose_last (estimater.py:250-268)."""
+        from .graph import track_graph
+
         if self.pose_last is None:
             raise RuntimeError("Please init pose by register() first")
-        rgb_j, _depth_j, K_j, xyz_map = self._to_device_frame(rgb, depth, K)
-        refined = refine_poses(
+        pose = track_graph(
             self.refiner_params,
-            self.cfg.refiner,
+            self.cfg,
             self.mesh_tensors,
-            self.pose_last[None],
-            K_j,
-            rgb_j,
-            xyz_map,
+            self.pose_last,
+            jnp.asarray(K, dtype=jnp.float32),
+            jnp.asarray(rgb, dtype=jnp.uint8),
+            jnp.asarray(depth, dtype=jnp.float32),
             jnp.float32(self.diameter),
             iterations=int(iteration),
         )
-        self.pose_last = refined[0]
+        self.pose_last = pose
         return (
-            np.asarray(refined[0], dtype=np.float64) @ self.get_tf_to_centered_mesh()
+            np.asarray(pose, dtype=np.float64) @ self.get_tf_to_centered_mesh()
         ).reshape(4, 4)

@@ -1,0 +1,119 @@
+"""Fully-fused register/track graphs — one dispatch per frame.
+
+The estimator's per-frame work (depth filtering, XYZ map, translation
+guess, hypothesis refinement, scoring, ranking) compiles into a single
+XLA executable. This matters doubly on TPU: besides kernel-launch
+overhead, the chip may sit behind a network tunnel where every dispatch
+pays round-trip latency — the reference's stage-by-stage structure
+(estimater.py:159-240 with host hops between stages) would be crippled
+by it.
+
+The translation guess (mask-bbox center ray x masked median depth,
+estimater.py:137-156) is computed on device with a sort-based masked
+median, eliminating the reference's numpy round trip.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import jax_config  # noqa: F401
+from ..geometry.projection import depth_to_xyz_map
+from ..ops.depth_filters import bilateral_filter_depth, erode_depth
+from .config import EstimatorCfg
+from .mesh_tensors import MeshTensors
+from .refiner import refine_poses
+from .scorer import score_poses
+
+
+def device_guess_translation(depth: jax.Array, mask: jax.Array, K: jax.Array):
+    """Device-side translation guess. Returns (center (3,), n_valid)."""
+    H, W = depth.shape
+    m = mask > 0
+    valid = m & (depth >= 0.001)
+
+    col_any = jnp.any(m, axis=0)
+    row_any = jnp.any(m, axis=1)
+    ui = jnp.arange(W, dtype=jnp.float32)
+    vi = jnp.arange(H, dtype=jnp.float32)
+    big = jnp.float32(1e9)
+    umin = jnp.min(jnp.where(col_any, ui, big))
+    umax = jnp.max(jnp.where(col_any, ui, -big))
+    vmin = jnp.min(jnp.where(row_any, vi, big))
+    vmax = jnp.max(jnp.where(row_any, vi, -big))
+    uc = (umin + umax) / 2.0
+    vc = (vmin + vmax) / 2.0
+
+    # Masked median via sort (invalid -> +inf goes to the tail).
+    vals = jnp.where(valid, depth, jnp.inf).reshape(-1)
+    svals = jnp.sort(vals)
+    n = jnp.sum(valid).astype(jnp.int32)
+    k1 = jnp.maximum((n - 1) // 2, 0)
+    k2 = jnp.maximum(n // 2, 0)
+    zc = (svals[k1] + svals[k2]) / 2.0
+
+    x = (uc - K[0, 2]) / K[0, 0] * zc
+    y = (vc - K[1, 2]) / K[1, 1] * zc
+    center = jnp.stack([x, y, zc])
+    return jnp.where(n > 0, center, jnp.zeros(3)), n
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "iterations"))
+def register_graph(
+    refiner_params,
+    scorer_params,
+    cfg: EstimatorCfg,
+    mesh: MeshTensors,
+    rot_grid: jax.Array,  # (N, 4, 4)
+    hyp_valid: jax.Array,  # (N,)
+    K: jax.Array,
+    rgb_u8: jax.Array,  # (H, W, 3) uint8
+    depth_raw: jax.Array,  # (H, W) f32 meters
+    mask: jax.Array,  # (H, W) any numeric/bool
+    mesh_diameter: jax.Array,
+    iterations: int,
+):
+    """Full registration in ONE compiled graph.
+
+    Returns (order, refined_sorted, scores_sorted, center, n_valid)."""
+    rgb = rgb_u8.astype(jnp.float32) / 255.0
+    depth = bilateral_filter_depth(erode_depth(depth_raw, radius=2), radius=2)
+    xyz_map = depth_to_xyz_map(depth, K, zfar=cfg.zfar)
+    center, n_valid = device_guess_translation(depth, mask, K)
+
+    poses = rot_grid.at[:, :3, 3].set(center[None])
+    refined = refine_poses(
+        refiner_params, cfg.refiner, mesh, poses, K, rgb, xyz_map,
+        mesh_diameter, iterations=iterations,
+    )
+    scores = score_poses(
+        scorer_params, cfg.scorer, mesh, refined, K, rgb, xyz_map,
+        mesh_diameter, valid=hyp_valid,
+    )
+    order = jnp.argsort(-scores)
+    return order, refined[order], scores[order], center, n_valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "iterations"))
+def track_graph(
+    refiner_params,
+    cfg: EstimatorCfg,
+    mesh: MeshTensors,
+    pose_last: jax.Array,  # (4, 4)
+    K: jax.Array,
+    rgb_u8: jax.Array,
+    depth_raw: jax.Array,
+    mesh_diameter: jax.Array,
+    iterations: int,
+):
+    """Per-frame tracking in ONE compiled graph; returns the new pose."""
+    rgb = rgb_u8.astype(jnp.float32) / 255.0
+    depth = bilateral_filter_depth(erode_depth(depth_raw, radius=2), radius=2)
+    xyz_map = depth_to_xyz_map(depth, K, zfar=cfg.zfar)
+    refined = refine_poses(
+        refiner_params, cfg.refiner, mesh, pose_last[None], K, rgb, xyz_map,
+        mesh_diameter, iterations=iterations,
+    )
+    return refined[0]

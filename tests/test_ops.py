@@ -117,3 +117,47 @@ class TestWarp:
                 warp_perspective(jnp.asarray(imgs[i]), jnp.asarray(M[i : i + 1]), (10, 10))
             )[0]
             np.testing.assert_allclose(out_b[i], out_s, atol=1e-6)
+
+
+class TestWarpCrop:
+    def test_matches_general_warp_bilinear(self):
+        import jax.numpy as jnp
+        from foundationpose_tpu.ops import warp_crop
+
+        rng = np.random.default_rng(5)
+        img = rng.uniform(0, 1, (24, 32, 3)).astype(np.float32)
+        M = np.array(
+            [
+                [[2.0, 0, -4.0], [0, 2.0, -6.0], [0, 0, 1]],
+                [[0.5, 0, 3.0], [0, 0.75, 1.0], [0, 0, 1]],
+            ],
+            np.float32,
+        )
+        a = np.asarray(warp_perspective(jnp.asarray(img), jnp.asarray(M), (16, 16)))
+        b = np.asarray(warp_crop(jnp.asarray(img), jnp.asarray(M), (16, 16)))
+        np.testing.assert_allclose(b, a, atol=1e-5)
+
+    def test_matches_general_warp_nearest(self):
+        import jax.numpy as jnp
+        from foundationpose_tpu.ops import warp_crop
+
+        rng = np.random.default_rng(6)
+        img = rng.uniform(0, 1, (20, 20, 2)).astype(np.float32)
+        M = np.array([[[1.7, 0, -2.0], [0, 1.3, 0.5], [0, 0, 1]]], np.float32)
+        a = np.asarray(
+            warp_perspective(jnp.asarray(img), jnp.asarray(M), (12, 12), mode="nearest")
+        )
+        b = np.asarray(
+            warp_crop(jnp.asarray(img), jnp.asarray(M), (12, 12), mode="nearest")
+        )
+        np.testing.assert_allclose(b, a, atol=1e-6)
+
+    def test_out_of_bounds_zero(self):
+        import jax.numpy as jnp
+        from foundationpose_tpu.ops import warp_crop
+
+        img = np.ones((8, 8, 1), np.float32)
+        M = np.eye(3, dtype=np.float32)
+        M[0, 2] = 100.0
+        out = np.asarray(warp_crop(jnp.asarray(img), jnp.asarray(M[None]), (8, 8)))
+        np.testing.assert_allclose(out, 0.0)
