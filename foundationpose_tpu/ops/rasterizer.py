@@ -144,19 +144,25 @@ def _rasterize_brute(xy_f, z_f, valid_f, pix_u, pix_v, face_chunk):
     return best_face, best_z < _BIG
 
 
-def _rasterize_binned(
-    xy_f, z_f, valid_f, H, W, tile, max_faces_per_tile
+def _rasterize_binned_interp(
+    xy_f, z_f, valid_f, tri_attr, H, W, tile, max_faces_per_tile
 ):
-    """Tile-binned rasterization for ONE pose. Returns flat image-ordered
-    (best_face (H*W,), covered (H*W,)).
+    """Tile-binned rasterization + attribute interpolation for ONE pose.
+
+    tri_attr: (F, 3, Da) per-face-vertex attributes. Returns flat
+    image-ordered (interp (H*W, Da), covered (H*W,)).
 
     Stage 1 bins faces to (H/tile x W/tile) tiles by screen bbox via a
     top_k selection (static cap K = max_faces_per_tile; overflow drops
     highest-index faces — raise K for very dense meshes).
-    Stage 2 edge-tests each tile's pixels against only its K candidates;
-    XLA fuses the (tile_px x K) evaluation into the z-min reduction.
+    Stage 2 edge-tests each tile's pixels against only its K candidates
+    (fused VPU eval + z-min) and fetches the winner's packed record via
+    a one-hot batched matmul on the MXU — no per-pixel gathers anywhere.
+    Perspective-correct barycentrics come from the winner's own edge
+    coefficients, so interpolation adds only elementwise work.
     """
     F = xy_f.shape[0]
+    Da = tri_attr.shape[-1]
     K = max_faces_per_tile
     nty, ntx = H // tile, W // tile
     T = nty * ntx
@@ -182,12 +188,13 @@ def _rasterize_binned(
     slot_face = F - top_keys  # (T, K); == F where empty
     slot_valid = top_keys > 0
 
-    # gather per-slot coefficients (pad row F = invalid)
-    coeffs_p = jnp.concatenate([coeffs, jnp.zeros((1, 10), coeffs.dtype)], axis=0)
-    zinv_p = jnp.concatenate([zinv, jnp.zeros((1, 3), zinv.dtype)], axis=0)
-    c_t = coeffs_p[slot_face]  # (T, K, 10)
-    z_t = zinv_p[slot_face]  # (T, K, 3)
-    c_t = c_t.at[..., 9].set(jnp.where(slot_valid, c_t[..., 9], 0.0))
+    # one packed record per face: [coeffs(10) | zinv(3) | attrs(3*Da)]
+    rec = jnp.concatenate(
+        [coeffs, zinv, tri_attr.reshape(F, 3 * Da)], axis=-1
+    )  # (F, 13 + 3Da)
+    rec = jnp.concatenate([rec, jnp.zeros((1, rec.shape[1]), rec.dtype)], axis=0)
+    rec_t = rec[slot_face]  # (T, K, D)
+    rec_t = rec_t.at[..., 9].set(jnp.where(slot_valid, rec_t[..., 9], 0.0))
 
     # --- fine: per-tile pixel coordinates (T, tile*tile)
     ty_idx = jax.lax.broadcasted_iota(jnp.int32, (nty, ntx), 0)
@@ -202,23 +209,44 @@ def _rasterize_binned(
     ).astype(jnp.float32)
 
     z = _eval_faces(
-        c_t[:, None, :, :], z_t[:, None, :, :], px[:, :, None], py[:, :, None]
+        rec_t[:, None, :, :10], rec_t[:, None, :, 10:13],
+        px[:, :, None], py[:, :, None],
     )  # (T, P, K)
     best_slot = jnp.argmin(z, axis=-1)  # (T, P)
     best_z = jnp.min(z, axis=-1)
-    best_face = jnp.take_along_axis(slot_face, best_slot, axis=1)  # (T, P)
     covered = best_z < _BIG
-    best_face = jnp.where(covered, best_face, 0)
+
+    # Winner record per pixel via one-hot MXU matmul (T,P,K)@(T,K,D).
+    oh = jax.nn.one_hot(best_slot, K, dtype=rec_t.dtype)
+    win = jnp.einsum(
+        "tpk,tkd->tpd", oh, rec_t, preferred_element_type=jnp.float32
+    )  # (T, P, D)
+
+    # Perspective-correct barycentrics from the winner's coefficients.
+    w0 = px * win[..., 0] + py * win[..., 1] + win[..., 2]
+    w1 = px * win[..., 3] + py * win[..., 4] + win[..., 5]
+    w2 = px * win[..., 6] + py * win[..., 7] + win[..., 8]
+    zsum = jnp.maximum(
+        w0 * win[..., 10] + w1 * win[..., 11] + w2 * win[..., 12], 1e-12
+    )
+    c0 = (w0 * win[..., 10] / zsum)[..., None]
+    c1 = (w1 * win[..., 11] / zsum)[..., None]
+    c2 = 1.0 - c0 - c1
+    a0 = win[..., 13 : 13 + Da]
+    a1 = win[..., 13 + Da : 13 + 2 * Da]
+    a2 = win[..., 13 + 2 * Da :]
+    interp = a0 * c0 + a1 * c1 + a2 * c2  # (T, P, Da)
 
     # --- assemble tiles back to image order
     def untile(x):
+        lead = x.shape[2:]
         return (
-            x.reshape(nty, ntx, tile, tile)
-            .transpose(0, 2, 1, 3)
-            .reshape(H * W)
+            x.reshape(nty, ntx, tile, tile, *lead)
+            .transpose(0, 2, 1, 3, *(4 + i for i in range(len(lead))))
+            .reshape(H * W, *lead)
         )
 
-    return untile(best_face), untile(covered)
+    return untile(interp), untile(covered)
 
 
 def _sample_texture(tex: jax.Array, uv: jax.Array) -> jax.Array:
@@ -381,18 +409,9 @@ def render_mesh(
                     pts_cam_1[faces[:, 1]] - p0, pts_cam_1[faces[:, 2]] - p0
                 )
                 valid_f = valid_f & (jnp.sum(fn * p0, axis=-1) < 0)
-            if method == "binned":
-                best_face, covered = _rasterize_binned(
-                    xy_f, z_f, valid_f, H, W, tile, max_faces_per_tile
-                )
-            else:
-                best_face, covered = _rasterize_brute(
-                    xy_f, z_f, valid_f, pix_u, pix_v, face_chunk
-                )
 
-            # ---- interpolation pass. All per-vertex quantities are packed
-            # into ONE (V, D) matrix so each pixel needs exactly three
-            # contiguous row-gathers (gathers dominate this pass on TPU).
+            # ---- packed per-vertex attributes. One (V, D) matrix so the
+            # interpolation needs no scattered gathers.
             cols = [xy_1, pts_cam_1]  # u, v, x, y, z
             c_col = n_col = None
             off = 5
@@ -416,38 +435,49 @@ def render_mesh(
                 n_col = off + (1 if use_light else 0)
             vdata = jnp.concatenate(cols, axis=-1)  # (V, D)
 
-            tri = faces[best_face]  # (P, 3)
-            va = vdata[tri[:, 0]]  # (P, D)
-            vb = vdata[tri[:, 1]]
-            vc = vdata[tri[:, 2]]
+            if method == "binned":
+                # Fused raster + interp: winner records fetched by a
+                # one-hot MXU matmul inside the tile loop.
+                interp, covered = _rasterize_binned_interp(
+                    xy_f, z_f, valid_f, vdata[faces], H, W, tile,
+                    max_faces_per_tile,
+                )
+                m = covered
+            else:
+                best_face, covered = _rasterize_brute(
+                    xy_f, z_f, valid_f, pix_u, pix_v, face_chunk
+                )
+                m = covered
+                tri = faces[best_face]  # (P, 3)
+                va = vdata[tri[:, 0]]  # (P, D)
+                vb = vdata[tri[:, 1]]
+                vc = vdata[tri[:, 2]]
 
-            # Screen barycentrics of the winning face at each pixel.
-            area2 = (vb[:, 0] - va[:, 0]) * (vc[:, 1] - va[:, 1]) - (
-                vc[:, 0] - va[:, 0]
-            ) * (vb[:, 1] - va[:, 1])
-            inv_a = jnp.where(jnp.abs(area2) < 1e-12, 0.0, 1.0 / area2)
-            w0 = (
-                (vb[:, 0] - pix_u) * (vc[:, 1] - pix_v)
-                - (vc[:, 0] - pix_u) * (vb[:, 1] - pix_v)
-            ) * inv_a
-            w1 = (
-                (vc[:, 0] - pix_u) * (va[:, 1] - pix_v)
-                - (va[:, 0] - pix_u) * (vc[:, 1] - pix_v)
-            ) * inv_a
-            w2 = 1.0 - w0 - w1
+                # Screen barycentrics of the winning face at each pixel.
+                area2 = (vb[:, 0] - va[:, 0]) * (vc[:, 1] - va[:, 1]) - (
+                    vc[:, 0] - va[:, 0]
+                ) * (vb[:, 1] - va[:, 1])
+                inv_a = jnp.where(jnp.abs(area2) < 1e-12, 0.0, 1.0 / area2)
+                w0 = (
+                    (vb[:, 0] - pix_u) * (vc[:, 1] - pix_v)
+                    - (vc[:, 0] - pix_u) * (vb[:, 1] - pix_v)
+                ) * inv_a
+                w1 = (
+                    (vc[:, 0] - pix_u) * (va[:, 1] - pix_v)
+                    - (va[:, 0] - pix_u) * (vc[:, 1] - pix_v)
+                ) * inv_a
+                w2 = 1.0 - w0 - w1
 
-            zs = jnp.stack([va[:, 4], vb[:, 4], vc[:, 4]], axis=-1)  # (P, 3)
-            zinv = jnp.where(zs > 1e-8, 1.0 / zs, 0.0)
-            zinv_sum = w0 * zinv[:, 0] + w1 * zinv[:, 1] + w2 * zinv[:, 2]
-            zinv_sum = jnp.maximum(zinv_sum, 1e-12)
-            # Perspective-correct barycentrics.
-            c0 = (w0 * zinv[:, 0] / zinv_sum)[:, None]
-            c1 = (w1 * zinv[:, 1] / zinv_sum)[:, None]
-            c2 = 1.0 - c0 - c1
+                zs = jnp.stack([va[:, 4], vb[:, 4], vc[:, 4]], axis=-1)  # (P, 3)
+                zinv = jnp.where(zs > 1e-8, 1.0 / zs, 0.0)
+                zinv_sum = w0 * zinv[:, 0] + w1 * zinv[:, 1] + w2 * zinv[:, 2]
+                zinv_sum = jnp.maximum(zinv_sum, 1e-12)
+                # Perspective-correct barycentrics.
+                c0 = (w0 * zinv[:, 0] / zinv_sum)[:, None]
+                c1 = (w1 * zinv[:, 1] / zinv_sum)[:, None]
+                c2 = 1.0 - c0 - c1
+                interp = va * c0 + vb * c1 + vc * c2  # (P, D)
 
-            interp = va * c0 + vb * c1 + vc * c2  # (P, D) all attrs at once
-
-            m = covered
             xyz = jnp.where(m[:, None], interp[:, 2:5], 0.0)
 
             if uv is not None:
