@@ -207,6 +207,10 @@ class FoundationPose:
         self.scores = scores
         self.pose_last = refined[0]
         self.best_id = int(order[0])
+        if self.debug >= 2 and self.debug_dir:
+            from ..utils.debug_vis import dump_register_debug
+
+            dump_register_debug(self, self.debug_dir, K, rgb, depth)
         best_pose = (
             np.asarray(self.pose_last, dtype=np.float64)
             @ self.get_tf_to_centered_mesh()
