@@ -334,10 +334,13 @@ def render_mesh(
     K = K.astype(jnp.float32)
 
     if method == "auto":
-        # binned wins above ~1.5k faces; above ~6k faces per-tile overflow
-        # becomes possible at the default K, so fall back to exact brute
-        # unless the caller explicitly chose binned with a bigger K.
-        if 1536 < F <= 12 * max_faces_per_tile and H % tile == 0 and W % tile == 0:
+        # binned wins above ~1.5k faces. Per-tile overflow (more than K
+        # faces overlapping one tile) silently drops the highest-index
+        # candidates, so auto only engages while the face count stays a
+        # comfortable multiple of K (verified exact for 5k-face meshes at
+        # K=256..512 on 160x160 crops); denser meshes fall back to the
+        # exact brute path unless the caller picks binned with a bigger K.
+        if 1536 < F <= 24 * max_faces_per_tile and H % tile == 0 and W % tile == 0:
             method = "binned"
         else:
             method = "brute"
