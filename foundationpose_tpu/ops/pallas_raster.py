@@ -107,7 +107,7 @@ def _fine_kernel(rec_ref, out_ref, *, tile, ntx, K, Da, kc):
     a2 = win[:, 13 + 2 * Da : 13 + 3 * Da]
     interp = a0 * c0 + a1 * c1 + a2 * c2  # (P, Da)
 
-    out_ref[0, :, :Da] = interp
+    out_ref[0, :, :Da] = jnp.where(covered, interp, 0.0)
     out_ref[0, :, Da : Da + 1] = covered.astype(jnp.float32)
 
 

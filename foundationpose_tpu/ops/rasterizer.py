@@ -144,32 +144,22 @@ def _rasterize_brute(xy_f, z_f, valid_f, pix_u, pix_v, face_chunk):
     return best_face, best_z < _BIG
 
 
-def _rasterize_binned_interp(
-    xy_f, z_f, valid_f, tri_attr, H, W, tile, max_faces_per_tile
-):
-    """Tile-binned rasterization + attribute interpolation for ONE pose.
+def _bin_face_records(xy_f, z_f, valid_f, tri_attr, H, W, tile, K):
+    """Bin faces to tiles and gather packed per-slot records for ONE pose.
 
-    tri_attr: (F, 3, Da) per-face-vertex attributes. Returns flat
-    image-ordered (interp (H*W, Da), covered (H*W,)).
-
-    Stage 1 bins faces to (H/tile x W/tile) tiles by screen bbox via a
-    top_k selection (static cap K = max_faces_per_tile; overflow drops
-    highest-index faces — raise K for very dense meshes).
-    Stage 2 edge-tests each tile's pixels against only its K candidates
-    (fused VPU eval + z-min) and fetches the winner's packed record via
-    a one-hot batched matmul on the MXU — no per-pixel gathers anywhere.
-    Perspective-correct barycentrics come from the winner's own edge
-    coefficients, so interpolation adds only elementwise work.
+    Returns rec_t (T, K, 13 + 3*Da): [edge coeffs(10) | zinv(3) |
+    vertex attrs(3*Da)] per tile slot; empty slots have ok=0.
+    Overflowing tiles drop the highest-index faces (raise K for very
+    dense meshes).
     """
     F = xy_f.shape[0]
     Da = tri_attr.shape[-1]
-    K = max_faces_per_tile
     nty, ntx = H // tile, W // tile
     T = nty * ntx
 
     coeffs, zinv = _face_coeffs(xy_f, z_f, valid_f)
 
-    # --- bin: face bbox -> tile overlap mask (T, F)
+    # --- face bbox -> tile overlap mask (T, F)
     bx0 = jnp.min(xy_f[:, :, 0], axis=1)
     bx1 = jnp.max(xy_f[:, :, 0], axis=1)
     by0 = jnp.min(xy_f[:, :, 1], axis=1)
@@ -195,6 +185,32 @@ def _rasterize_binned_interp(
     rec = jnp.concatenate([rec, jnp.zeros((1, rec.shape[1]), rec.dtype)], axis=0)
     rec_t = rec[slot_face]  # (T, K, D)
     rec_t = rec_t.at[..., 9].set(jnp.where(slot_valid, rec_t[..., 9], 0.0))
+    return rec_t
+
+
+def _rasterize_binned_interp(
+    xy_f, z_f, valid_f, tri_attr, H, W, tile, max_faces_per_tile
+):
+    """Tile-binned rasterization + attribute interpolation for ONE pose.
+
+    tri_attr: (F, 3, Da) per-face-vertex attributes. Returns flat
+    image-ordered (interp (H*W, Da), covered (H*W,)).
+
+    Stage 1 bins faces to (H/tile x W/tile) tiles by screen bbox via a
+    top_k selection (_bin_face_records). Stage 2 edge-tests each tile's
+    pixels against only its K candidates (fused VPU eval + z-min) and
+    fetches the winner's packed record via a one-hot batched matmul on
+    the MXU — no per-pixel gathers anywhere. Perspective-correct
+    barycentrics come from the winner's own edge coefficients.
+    (method='pallas' runs the same stage 2 inside one VMEM-resident
+    Pallas kernel; see ops/pallas_raster.py.)
+    """
+    Da = tri_attr.shape[-1]
+    K = max_faces_per_tile
+    nty, ntx = H // tile, W // tile
+    T = nty * ntx
+
+    rec_t = _bin_face_records(xy_f, z_f, valid_f, tri_attr, H, W, tile, K)
 
     # --- fine: per-tile pixel coordinates (T, tile*tile)
     ty_idx = jax.lax.broadcasted_iota(jnp.int32, (nty, ntx), 0)
@@ -398,6 +414,129 @@ def render_mesh(
 
     R_all = poses[:, :3, :3]
 
+    # Column layout of the packed per-vertex attribute matrix, shared by
+    # every rasterization path: [u, v | x, y, z cam | color/uv | diffuse |
+    # normal]. Static offsets:
+    c_col = n_col = None
+    _off = 5
+    if uv is not None:
+        c_col, _off = _off, _off + 2
+    elif vertex_color is not None:
+        c_col, _off = _off, _off + 3
+    if use_light:
+        pass
+    if get_normal:
+        n_col = _off + (1 if use_light else 0)
+
+    def pack_vdata(pts_cam_1, xy_1, R_1):
+        """(V, D) packed per-vertex attributes for one pose."""
+        cols = [xy_1, pts_cam_1]
+        if uv is not None:
+            cols.append(uv)
+        elif vertex_color is not None:
+            cols.append(vertex_color)
+        if get_normal:
+            vn_cam = (R_1 @ vnormals.T).T  # (V, 3)
+            if use_light:
+                vn_n = vn_cam / jnp.maximum(
+                    jnp.linalg.norm(vn_cam, axis=-1, keepdims=True), 1e-12
+                )
+                diff_v = jnp.clip(
+                    jnp.sum(vn_n * (-light_dir)[None], axis=-1), 0.0, 1.0
+                )[:, None]
+                cols.append(diff_v)
+            cols.append(vn_cam)
+        return jnp.concatenate(cols, axis=-1)
+
+    def face_validity(pts_cam_1, z_f):
+        valid_f = face_valid_static & jnp.all(z_f > 1e-4, axis=-1)
+        if cull_backfaces:
+            p0 = pts_cam_1[faces[:, 0]]
+            fn = jnp.cross(
+                pts_cam_1[faces[:, 1]] - p0, pts_cam_1[faces[:, 2]] - p0
+            )
+            valid_f = valid_f & (jnp.sum(fn * p0, axis=-1) < 0)
+        return valid_f
+
+    def finalize(interp, m):
+        """Shared post-processing: (P, D) winner attrs + coverage ->
+        (color, xyz, normal, mask) image tensors."""
+        xyz = jnp.where(m[:, None], interp[:, 2:5], 0.0)
+        if uv is not None:
+            color = _sample_texture(tex, interp[:, c_col : c_col + 2])
+        elif vertex_color is not None:
+            color = interp[:, c_col : c_col + 3]
+        else:
+            color = jnp.full((H * W, 3), 0.5, dtype=jnp.float32)
+        normal_out = None
+        if get_normal:
+            if use_light:
+                diff = interp[:, n_col - 1 : n_col]
+                color = color * w_ambient + diff * color * w_diffuse
+            n_pix = interp[:, n_col : n_col + 3]
+            n_pix = n_pix / jnp.maximum(
+                jnp.linalg.norm(n_pix, axis=-1, keepdims=True), 1e-12
+            )
+            normal_out = jnp.where(m[:, None], n_pix, 0.0)
+        color = jnp.clip(color, 0.0, 1.0)
+        color = jnp.where(m[:, None], color, 0.0)
+        return (
+            color.reshape(H, W, 3),
+            xyz.reshape(H, W, 3),
+            (normal_out.reshape(H, W, 3) if normal_out is not None
+             else jnp.zeros((H, W, 3), jnp.float32)),
+            m.reshape(H, W),
+        )
+
+    if method == "pallas":
+        # Batched Pallas fine stage: XLA binning per pose, then ONE kernel
+        # launch over the (pose x tile) grid (ops/pallas_raster.py).
+        from .pallas_raster import fine_raster_pallas
+
+        nty, ntx = H // tile, W // tile
+        T = nty * ntx
+        Kp = ((max_faces_per_tile + 127) // 128) * 128
+
+        def per_pose_rec(pts_cam_1, xy_1, R_1):
+            z_v = pts_cam_1[:, 2]
+            xy_f = xy_1[faces]
+            z_f = z_v[faces]
+            valid_f = face_validity(pts_cam_1, z_f)
+            vdata = pack_vdata(pts_cam_1, xy_1, R_1)
+            return _bin_face_records(
+                xy_f, z_f, valid_f, vdata[faces], H, W, tile, Kp
+            )
+
+        n_blocks = Np // pose_block
+        rec_all = jax.lax.map(
+            lambda t: jax.vmap(per_pose_rec)(*t),
+            (
+                pts_cam_all.reshape(n_blocks, pose_block, -1, 3),
+                xy_all.reshape(n_blocks, pose_block, -1, 2),
+                R_all.reshape(n_blocks, pose_block, 3, 3),
+            ),
+        )  # (blocks, B, T, K, D)
+        D = rec_all.shape[-1]
+        Da = (D - 13) // 3
+        rec_all = rec_all.reshape(Np * T, Kp, D).transpose(0, 2, 1)
+        interpret = jax.default_backend() != "tpu"
+        out = fine_raster_pallas(
+            rec_all, tile, ntx, nty, kc=128, interpret=interpret
+        )  # (Np*T, P, Da+1)
+
+        out = out.reshape(Np, nty, ntx, tile, tile, Da + 1)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(Np, H * W, Da + 1)
+        interp_all = out[..., :Da]
+        m_all = out[..., Da] > 0.5
+
+        color, xyz, normal, mask = jax.vmap(finalize)(interp_all, m_all)
+        return RenderOutput(
+            color=color[:N],
+            xyz=xyz[:N],
+            normal=normal[:N] if get_normal else None,
+            mask=mask[:N],
+        )
+
     def render_block(args):
         pts_cam, xy, Rb = args  # (B, V, 3), (B, V, 2), (B, 3, 3)
 
@@ -405,38 +544,8 @@ def render_mesh(
             z_v = pts_cam_1[:, 2]  # (V,)
             xy_f = xy_1[faces]  # (F, 3, 2)
             z_f = z_v[faces]  # (F, 3)
-            valid_f = face_valid_static & jnp.all(z_f > 1e-4, axis=-1)
-            if cull_backfaces:
-                p0 = pts_cam_1[faces[:, 0]]
-                fn = jnp.cross(
-                    pts_cam_1[faces[:, 1]] - p0, pts_cam_1[faces[:, 2]] - p0
-                )
-                valid_f = valid_f & (jnp.sum(fn * p0, axis=-1) < 0)
-
-            # ---- packed per-vertex attributes. One (V, D) matrix so the
-            # interpolation needs no scattered gathers.
-            cols = [xy_1, pts_cam_1]  # u, v, x, y, z
-            c_col = n_col = None
-            off = 5
-            if uv is not None:
-                cols.append(uv)
-                c_col, off = off, off + 2
-            elif vertex_color is not None:
-                cols.append(vertex_color)
-                c_col, off = off, off + 3
-            if get_normal:
-                vn_cam = (R_1 @ vnormals.T).T  # (V, 3)
-                if use_light:
-                    vn_n = vn_cam / jnp.maximum(
-                        jnp.linalg.norm(vn_cam, axis=-1, keepdims=True), 1e-12
-                    )
-                    diff_v = jnp.clip(
-                        jnp.sum(vn_n * (-light_dir)[None], axis=-1), 0.0, 1.0
-                    )[:, None]
-                    cols.append(diff_v)
-                cols.append(vn_cam)
-                n_col = off + (1 if use_light else 0)
-            vdata = jnp.concatenate(cols, axis=-1)  # (V, D)
+            valid_f = face_validity(pts_cam_1, z_f)
+            vdata = pack_vdata(pts_cam_1, xy_1, R_1)
 
             if method == "binned":
                 # Fused raster + interp: winner records fetched by a
@@ -481,39 +590,7 @@ def render_mesh(
                 c2 = 1.0 - c0 - c1
                 interp = va * c0 + vb * c1 + vc * c2  # (P, D)
 
-            xyz = jnp.where(m[:, None], interp[:, 2:5], 0.0)
-
-            if uv is not None:
-                color = _sample_texture(tex, interp[:, c_col : c_col + 2])
-            elif vertex_color is not None:
-                color = interp[:, c_col : c_col + 3]
-            else:
-                color = jnp.full((pix_u.shape[0], 3), 0.5, dtype=jnp.float32)
-
-            normal_out = None
-            if get_normal:
-                if use_light:
-                    # Gouraud: per-vertex diffuse, interpolated
-                    # (Utils.py:203-207).
-                    diff = interp[:, n_col - 1 : n_col]
-                    color = color * w_ambient + diff * color * w_diffuse
-                n_pix = interp[:, n_col : n_col + 3]
-                n_pix = n_pix / jnp.maximum(
-                    jnp.linalg.norm(n_pix, axis=-1, keepdims=True), 1e-12
-                )
-                normal_out = jnp.where(m[:, None], n_pix, 0.0)
-
-            color = jnp.clip(color, 0.0, 1.0)
-            color = jnp.where(m[:, None], color, 0.0)
-
-            out = (
-                color.reshape(H, W, 3),
-                xyz.reshape(H, W, 3),
-                (normal_out.reshape(H, W, 3) if normal_out is not None
-                 else jnp.zeros((H, W, 3), jnp.float32)),
-                m.reshape(H, W),
-            )
-            return out
+            return finalize(interp, m)
 
         return jax.vmap(one_pose)(pts_cam, xy, Rb)
 

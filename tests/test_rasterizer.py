@@ -286,3 +286,44 @@ class TestTexture:
         # u=0 maps to image left (x=-0.2 -> pixel 12), red side
         np.testing.assert_allclose(c[32, 16], [1, 0, 0], atol=0.05)
         np.testing.assert_allclose(c[32, 48], [0, 0, 1], atol=0.05)
+
+
+class TestPallasPath:
+    def test_pallas_matches_binned(self):
+        """method='pallas' (interpret mode on CPU) == method='binned'."""
+        from foundationpose_tpu.geometry.icosphere import icosphere
+        from foundationpose_tpu.meshio import compute_vertex_normals
+
+        verts, faces = icosphere(2, radius=0.1)  # 320 faces
+        rng = np.random.default_rng(0)
+        colors = rng.integers(30, 255, (len(verts), 3)).astype(np.float32) / 255
+        vn = compute_vertex_normals(verts, faces)
+        poses = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+        poses[0, 2, 3] = 0.6
+        poses[1, 2, 3] = 0.9
+        poses[1, :3, :3] = np.array(
+            [[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32
+        )
+        args = dict(
+            out_hw=(64, 64),
+            vertex_color=jnp.asarray(colors),
+            vnormals=jnp.asarray(vn.astype(np.float32)),
+            use_light=True,
+            tile=32,
+            max_faces_per_tile=128,
+        )
+        a = render_mesh(
+            jnp.asarray(verts.astype(np.float32)),
+            jnp.asarray(faces.astype(np.int32)),
+            jnp.asarray(poses), jnp.asarray(K),
+            method="binned", **args,
+        )
+        b = render_mesh(
+            jnp.asarray(verts.astype(np.float32)),
+            jnp.asarray(faces.astype(np.int32)),
+            jnp.asarray(poses), jnp.asarray(K),
+            method="pallas", **args,
+        )
+        np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+        np.testing.assert_allclose(np.asarray(a.xyz), np.asarray(b.xyz), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color), atol=1e-5)
