@@ -1,21 +1,19 @@
-"""Pallas TPU kernel for the rasterizer's fine stage.
+"""Pallas TPU kernel for the rasterizer's fine stage (method='pallas').
 
-Fuses, per (pose, tile), everything the XLA binned path does in three
-HBM-roundtripping steps — edge evaluation + z-argmin, winner-record
-fetch, perspective-correct interpolation — into one VMEM-resident
-kernel:
+Fuses, per (pose, tile), the fine rasterization into one VMEM-resident
+kernel: each 128-lane chunk of the tile's K candidate records is edge-
+evaluated on the VPU, the chunk's nearest-z candidate record is pulled
+with a one-hot MXU matmul, and a running best record survives across
+chunks — the (tile_pixels x K) working set never touches HBM, and the
+perspective-correct interpolation happens in registers.
 
-* pass 1 streams the tile's K candidate records (layout (D, K), K on
-  the 128-lane axis) through the VPU in 128-wide chunks, tracking the
-  per-pixel nearest-z winner;
-* pass 2 rebuilds the winner's packed record with a one-hot matmul on
-  the MXU (pl.dot) — no gathers;
-* the interpolated attributes are computed in registers and written
-  once.
-
-The (tile_pixels x K) working set never touches HBM, which is the
-entire advantage over the XLA version (rasterizer._rasterize_binned_interp).
-Outputs and semantics are identical; tests compare the two paths.
+Status: bit-exact with the XLA binned path
+(rasterizer._rasterize_binned_interp) — parity-tested — and currently
+within ~25% of its speed on v5e (XLA's fused eval + batched one-hot
+matmul is already near the VPU roofline for this shape). The kernel is
+the substrate for the next step, in-kernel binning (streaming
+Morton-ordered face chunks with @pl.when skip), which the XLA path
+cannot express.
 """
 from __future__ import annotations
 
@@ -39,10 +37,11 @@ def _fine_kernel(rec_ref, out_ref, *, tile, ntx, K, Da, kc):
     tx = t % ntx
 
     P = tile * tile
-    oy = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0)
-    ox = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1)
-    px = (tx * tile).astype(jnp.float32) + ox.reshape(P, 1)
-    py = (ty * tile).astype(jnp.float32) + oy.reshape(P, 1)
+    # Row-major pixel index p -> (py, px) = divmod(p, tile), computed as a
+    # (P, 1) int iota (Mosaic: no float iota, no (t,t)->(P,1) reshape).
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (tx * tile + pidx % tile).astype(jnp.float32)
+    py = (ty * tile + pidx // tile).astype(jnp.float32)
 
     n_chunks = K // kc
 
@@ -56,39 +55,42 @@ def _fine_kernel(rec_ref, out_ref, *, tile, ntx, K, Da, kc):
         zsum = w0 * c[10][None] + w1 * c[11][None] + w2 * c[12][None]
         return jnp.where(inside & (zsum > 1e-12), 1.0 / zsum, _BIG)
 
-    # ---- pass 1: nearest-z winner per pixel
+    # ---- single pass: per chunk, find the chunk's nearest-z candidate,
+    # pull its record with a one-hot MXU matmul, and keep it where it
+    # beats the running best (no second evaluation sweep).
+    D = 13 + 3 * Da
+
     def body(i, carry):
-        best_z, best_idx = carry
-        c = rec_ref[0, :, pl.ds(i * kc, kc)]
-        z = eval_chunk(c)
-        zmin = jnp.min(z, axis=1, keepdims=True)
-        idx = jnp.argmin(z, axis=1).reshape(P, 1).astype(jnp.int32) + i * kc
-        better = zmin < best_z
-        return (
-            jnp.where(better, zmin, best_z),
-            jnp.where(better, idx, best_idx),
-        )
-
-    init = (
-        jnp.full((P, 1), _BIG, jnp.float32),
-        jnp.zeros((P, 1), jnp.int32),
-    )
-    best_z, best_idx = jax.lax.fori_loop(0, n_chunks, body, init)
-    covered = best_z < _BIG
-
-    # ---- pass 2: winner record via one-hot MXU matmul
-    def body2(i, win):
+        best_z, win = carry
         c = rec_ref[0, :, pl.ds(i * kc, kc)]  # (D, kc)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (P, kc), 1) + i * kc
-        oh = (lane == best_idx).astype(jnp.float32)  # (P, kc)
-        return win + jax.lax.dot_general(
+        z = eval_chunk(c)  # (P, kc)
+        zmin = jnp.min(z, axis=1, keepdims=True)
+        # One-hot of the first lane attaining zmin (argmin semantics:
+        # blending exact-z ties would corrupt the coeffs; no cumsum in
+        # Mosaic, so select the minimum matching lane index instead).
+        lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+        is_min = z == zmin
+        first = jnp.min(
+            jnp.where(is_min, lane, jnp.int32(2**30)), axis=1, keepdims=True
+        )
+        oh = (is_min & (lane == first)).astype(jnp.float32)
+        cand = jax.lax.dot_general(
             oh, c,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (P, D)
+        better = zmin < best_z
+        return (
+            jnp.where(better, zmin, best_z),
+            jnp.where(better, cand, win),
+        )
 
-    D = 13 + 3 * Da
-    win = jax.lax.fori_loop(0, n_chunks, body2, jnp.zeros((P, D), jnp.float32))
+    init = (
+        jnp.full((P, 1), _BIG, jnp.float32),
+        jnp.zeros((P, D), jnp.float32),
+    )
+    best_z, win = jax.lax.fori_loop(0, n_chunks, body, init)
+    covered = best_z < _BIG
 
     # ---- interpolation from the winner's own edge coefficients
     pxf = px[:, 0:1]
@@ -146,6 +148,9 @@ def fine_raster_pallas(
         out_specs=pl.BlockSpec(
             (1, P, OUT), lambda n, t: (n * T + t, 0, 0),
             memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
     )(rec)
