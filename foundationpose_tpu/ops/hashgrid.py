@@ -1,8 +1,9 @@
-"""Multi-level hash-grid encoder (instant-NGP style), pure JAX.
+"""Multi-level hash-grid encoder (instant-NGP style), pure JAX + Pallas.
 
 TPU-native replacement for the reference's torch-ngp CUDA extension
 (bundlesdf/mycuda/torch_ngp_grid_encoder/gridencoder.cu:96-246 forward,
-grid.py:92-158 module). Semantics match the CUDA kernel exactly:
+248-365 backward, grid.py:92-158 module). Semantics match the CUDA
+kernel exactly:
 
 * level scale  = 2^(level*S) * base - 1,  S = log2(finest/base)/(L-1)
 * resolution   = ceil(scale) + 1
@@ -11,10 +12,13 @@ grid.py:92-158 module). Semantics match the CUDA kernel exactly:
                  hashmap, else xor-prime fast_hash; modulo hashmap size
 * out-of-[0,1] inputs produce zeros
 
-The backward pass (scatter-add into embeddings, gridencoder.cu:248-365)
-falls out of JAX autodiff of the gather — XLA emits the same scatter-add.
-Embeddings live in ONE flat (total_params, C) table with per-level
-offsets, so the whole encoder is a single vmap over levels.
+TPU layout design: every big intermediate is (N, L*8) — with the default
+16 levels that is exactly one 128-lane vector row per point, so nothing
+gets tile-padded (naive (N, L, 8, C) layouts explode 16-64x in HBM and
+OOM'd the NeRF step). Per-level reductions run as matmuls against a
+static block-diagonal summing matrix (MXU), and the backward's
+scatter-add uses the Pallas sorted-segment-add kernel
+(ops/pallas_scatter.py) instead of XLA's serialized scatter.
 """
 from __future__ import annotations
 
@@ -87,59 +91,187 @@ def _level_scales(cfg: HashGridCfg):
     ).astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def hashgrid_encode(embeddings: jax.Array, x: jax.Array, cfg: HashGridCfg) -> jax.Array:
-    """x: (N, 3) in [-1, 1] (bound=1 like grid.py:147) -> (N, L*C)."""
+def _slot_constants(cfg: HashGridCfg):
+    """Static per-slot (L*8 lanes) constants: scale, size, offset, dense
+    flag, corner bits — each slot is (level, corner)."""
+    res_np, sizes_np, offsets_np, total = cfg.level_tables()
+    L = cfg.n_levels
+    scales = np.repeat(_level_scales(cfg), 8)  # (L*8,)
+    sizes = np.repeat(sizes_np, 8).astype(np.uint32)
+    offsets = np.repeat(offsets_np, 8)
+    strides = np.repeat(res_np + 1, 8).astype(np.uint32)
+    dense = np.repeat(((res_np + 1) ** 3) <= sizes_np, 8)
+    corner_bits = np.tile(
+        np.array([[(i >> d) & 1 for d in range(3)] for i in range(8)]), (L, 1)
+    )  # (L*8, 3)
+    # Block-diagonal level-summing matrix: (L*8, L) with S[l*8+k, l] = 1.
+    S = np.zeros((L * 8, L), np.float32)
+    for l in range(L):
+        S[l * 8 : (l + 1) * 8, l] = 1.0
+    return scales, sizes, offsets, strides, dense, corner_bits, S, total
+
+
+def _corner_data(x: jax.Array, cfg: HashGridCfg):
+    """Per-(level, corner) slot data in flat (N, L*8) layout.
+
+    Returns flat table indices (N, L*8) int32, trilinear weights
+    (N, L*8), per-axis factors 3 x (N, L*8), and the oob mask (N,).
+    """
+    scales, sizes, offsets, strides, dense, corner_bits, _S, _tot = (
+        _slot_constants(cfg)
+    )
     x01 = (x + 1.0) / 2.0
     oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)  # (N,)
 
-    res_np, sizes_np, offsets_np, _ = cfg.level_tables()
-    scales = jnp.asarray(_level_scales(cfg))  # (L,)
-    resolutions = jnp.asarray(res_np, jnp.uint32)
-    sizes = jnp.asarray(sizes_np, jnp.uint32)
-    offsets = jnp.asarray(offsets_np, jnp.int64)
-    # A level uses the dense linear index iff (res+1)^3 fits its hashmap
-    # (the CUDA kernel hashes when stride > hashmap_size, gridencoder.cu:67).
-    dense = jnp.asarray(((res_np + 1).astype(np.int64) ** 3) <= sizes_np.astype(np.int64))
+    pos = x01[:, :, None] * jnp.asarray(_level_scales(cfg))[None, None] + 0.5
+    # pos: (N, 3, L) -> grid/frac per axis per level
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid  # (N, 3, L)
+    pg = pos_grid.astype(jnp.uint32)
 
-    primes = jnp.asarray(_PRIMES)
+    bits = jnp.asarray(corner_bits.reshape(cfg.n_levels, 8, 3))  # (L, 8, 3)
 
-    # Corner offsets (8, 3)
-    corners = jnp.asarray(
-        [[(i >> d) & 1 for d in range(3)] for i in range(8)], jnp.uint32
+    # Expand per axis to slot layout (N, L*8) without >2D minor dims:
+    def slots(a):  # a: (N, 3, L) -> three (N, L*8) arrays per axis
+        return [
+            jnp.repeat(a[:, d, :], 8, axis=-1) for d in range(3)
+        ]
+
+    pg_s = slots(pg)  # 3 x (N, L8) uint32
+    frac_s = slots(frac)  # 3 x (N, L8)
+    bit_s = [
+        jnp.asarray(corner_bits[:, d])[None].astype(jnp.uint32) for d in range(3)
+    ]  # 3 x (1, L8)
+
+    corner_pg = [pg_s[d] + bit_s[d] for d in range(3)]
+    factors = [
+        jnp.where(bit_s[d].astype(bool), frac_s[d], 1.0 - frac_s[d])
+        for d in range(3)
+    ]
+    w = factors[0] * factors[1] * factors[2]  # (N, L8)
+
+    strides_j = jnp.asarray(strides)[None]
+    linear = (
+        corner_pg[0]
+        + corner_pg[1] * strides_j
+        + corner_pg[2] * strides_j * strides_j
     )
+    primes = jnp.asarray(_PRIMES)
+    hashed = (
+        corner_pg[0] * primes[0]
+        ^ corner_pg[1] * primes[1]
+        ^ corner_pg[2] * primes[2]
+    )
+    idx = jnp.where(jnp.asarray(dense)[None], linear, hashed) % jnp.asarray(sizes)[None]
+    flat = idx.astype(jnp.int32) + jnp.asarray(offsets.astype(np.int32))[None]
+    return flat, w, factors, oob
 
-    def encode_level(scale, resolution, size, offset, is_dense):
-        pos = x01 * scale + 0.5  # (N, 3), align_corners=False
-        pos_grid = jnp.floor(pos)
-        frac = pos - pos_grid
-        pg = pos_grid.astype(jnp.uint32)  # (N, 3)
 
-        corner_pg = pg[:, None, :] + corners[None]  # (N, 8, 3)
-        # trilinear weights
-        w = jnp.prod(
-            jnp.where(corners[None].astype(bool), frac[:, None, :], 1.0 - frac[:, None, :]),
-            axis=-1,
-        )  # (N, 8)
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hashgrid_encode(embeddings: jax.Array, x: jax.Array, cfg: HashGridCfg) -> jax.Array:
+    """x: (N, 3) in [-1, 1] (bound=1 like grid.py:147) -> (N, L*C).
 
-        stride = resolution + 1
-        linear = (
-            corner_pg[..., 0]
-            + corner_pg[..., 1] * stride
-            + corner_pg[..., 2] * stride * stride
-        )
-        hashed = (
-            corner_pg[..., 0] * primes[0]
-            ^ corner_pg[..., 1] * primes[1]
-            ^ corner_pg[..., 2] * primes[2]
-        )
-        idx = jnp.where(is_dense, linear, hashed) % size  # (N, 8) uint32
-        flat = idx.astype(jnp.int64) + offset
-        vals = embeddings[flat]  # (N, 8, C)
-        return jnp.sum(vals * w[..., None], axis=1)  # (N, C)
+    Output channel order matches the CUDA kernel: level-major, channel
+    within level.
+    """
+    return _encode_fwd_impl(embeddings, x, cfg)
 
-    per_level = jax.vmap(encode_level, in_axes=(0, 0, 0, 0, 0), out_axes=1)(
-        scales, resolutions, sizes, offsets, dense
-    )  # (N, L, C)
-    out = per_level.reshape(x.shape[0], cfg.out_dim)
-    return jnp.where(oob[:, None], 0.0, out)
+
+def _gather_and_reduce(embeddings, flat, w, oob, cfg):
+    """Row-gather corner embeddings and level-sum them on the MXU.
+
+    Row gathers ((total, C) rows) are ~2.4x faster than per-channel plane
+    gathers on TPU; the gathered (M, C) tensor is consumed immediately
+    (XLA fuses it — storing it would tile-pad 64x). Returns the encoding
+    (N, L*C) and the gathered values as channel planes (C, N, L8) for the
+    backward pass.
+    """
+    N = flat.shape[0]
+    L8 = flat.shape[1]
+    S_j = jnp.asarray(_slot_constants(cfg)[6])
+    vals = embeddings[flat.reshape(-1)]  # (M, C) row gather, fused
+    planes = jnp.stack(
+        [vals[:, c].reshape(N, L8) for c in range(cfg.level_dim)], axis=0
+    )  # (C, N, L8) — safe layout for residual storage
+    outs = [
+        jnp.dot(planes[c] * w, S_j, preferred_element_type=jnp.float32)
+        for c in range(cfg.level_dim)
+    ]
+    out = jnp.stack(outs, axis=-1).reshape(N, cfg.out_dim)
+    return jnp.where(oob[:, None], 0.0, out), planes
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _encode_fwd_impl(embeddings, x, cfg):
+    flat, w, _factors, oob = _corner_data(x, cfg)
+    out, _planes = _gather_and_reduce(embeddings, flat, w, oob, cfg)
+    return out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _encode_fwd_res(embeddings, x, cfg):
+    flat, w, _factors, oob = _corner_data(x, cfg)
+    out, planes = _gather_and_reduce(embeddings, flat, w, oob, cfg)
+    return out, planes
+
+
+def _encode_fwd(embeddings, x, cfg):
+    out, planes = _encode_fwd_res(embeddings, x, cfg)
+    return out, (embeddings.shape[0], x, planes)
+
+
+@partial(jax.jit, static_argnames=("cfg", "table_size"))
+def _encode_bwd_impl(cfg, table_size, x, planes, g):
+    from .pallas_scatter import sorted_segment_add_planes
+
+    scales_s, _sizes, _offs, _strides, _dense, corner_bits, S, _tot = (
+        _slot_constants(cfg)
+    )
+    N = x.shape[0]
+    L = cfg.n_levels
+    C = cfg.level_dim
+    flat, w, factors, oob = _corner_data(x, cfg)
+    g_masked = jnp.where(oob[:, None], 0.0, g)  # (N, L*C)
+    g_lc = g_masked.reshape(N, L, C)
+    S_j = jnp.asarray(S)  # (L8, L)
+    g_slots = [
+        jnp.dot(g_lc[:, :, c], S_j.T, preferred_element_type=jnp.float32)
+        for c in range(C)
+    ]  # C x (N, L8)
+
+    # --- d embeddings: per-channel planes, one flat segment-add
+    # (Pallas kernel; XLA scatter would serialize).
+    idx_flat = jnp.where(oob[:, None], jnp.int32(table_size), flat).reshape(-1)
+    upd = jnp.stack([(w * g_slots[c]).reshape(-1) for c in range(C)], axis=0)
+    d_emb = sorted_segment_add_planes(idx_flat, upd, table_size)
+
+    # --- d x: analytic trilinear derivative (dpos/dx = scale / 2),
+    # reusing the forward's gathered corner values (no second gather).
+    ve_g = jnp.zeros_like(w)
+    for c in range(C):
+        ve_g = ve_g + planes[c] * g_slots[c]
+    scale_slot = jnp.asarray(scales_s)[None] / 2.0  # (1, L8)
+    signs = [
+        jnp.asarray(np.where(corner_bits[:, d] > 0, 1.0, -1.0).astype(np.float32))[None]
+        for d in range(3)
+    ]
+    o01 = factors[1] * factors[2]
+    o02 = factors[0] * factors[2]
+    o03 = factors[0] * factors[1]
+    dxs = [
+        jnp.sum(ve_g * signs[0] * o01 * scale_slot, axis=1),
+        jnp.sum(ve_g * signs[1] * o02 * scale_slot, axis=1),
+        jnp.sum(ve_g * signs[2] * o03 * scale_slot, axis=1),
+    ]
+    d_x = jnp.stack(dxs, axis=-1)
+    d_x = jnp.where(oob[:, None], 0.0, d_x).astype(x.dtype)
+    return d_emb, d_x
+
+
+def _encode_bwd(cfg, res, g):
+    table_size, x, planes = res
+    d_emb, d_x = _encode_bwd_impl(cfg, table_size, x, planes, g)
+    return d_emb, d_x
+
+
+hashgrid_encode.defvjp(_encode_fwd, _encode_bwd)

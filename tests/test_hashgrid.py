@@ -122,3 +122,94 @@ class TestHashGrid:
         _, _, _, total = cfg.level_tables()
         assert cfg.out_dim == 32
         assert total > 2**22  # multiple saturated levels
+
+
+class TestCustomVJP:
+    cfg = HashGridCfg(
+        n_levels=4, level_dim=2, base_resolution=4, desired_resolution=32,
+        log2_hashmap_size=10,
+    )
+
+    def _autodiff_reference(self, emb, x, g):
+        """Plain-autodiff gradients of an uncustomized re-encode."""
+        from foundationpose_tpu.ops.hashgrid import _encode_fwd_impl
+
+        def f(e, xx):
+            return jnp.vdot(_encode_fwd_impl(e, xx, self.cfg), g)
+
+        return jax.grad(f, argnums=(0, 1))(emb, x)
+
+    def test_grad_embeddings_matches_autodiff(self):
+        emb = init_hashgrid(jax.random.PRNGKey(0), self.cfg)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-0.95, 0.95, (64, 3)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((64, self.cfg.out_dim)), jnp.float32)
+
+        def f(e, xx):
+            return jnp.vdot(hashgrid_encode(e, xx, self.cfg), g)
+
+        de, dx = jax.grad(f, argnums=(0, 1))(emb, x)
+        de_ref, dx_ref = self._autodiff_reference(emb, x, g)
+        np.testing.assert_allclose(np.asarray(de), np.asarray(de_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), atol=1e-3, rtol=1e-3)
+
+    def test_grad_x_finite_difference(self):
+        emb = init_hashgrid(jax.random.PRNGKey(1), self.cfg)
+        x = jnp.asarray([[0.21, -0.33, 0.47]], jnp.float32)
+        g = jnp.ones((1, self.cfg.out_dim), jnp.float32)
+
+        def f(xx):
+            return float(jnp.vdot(hashgrid_encode(emb, xx, self.cfg), g))
+
+        dx = np.asarray(jax.grad(
+            lambda xx: jnp.vdot(hashgrid_encode(emb, xx, self.cfg), g)
+        )(x))[0]
+        eps = 1e-3
+        for d in range(3):
+            xp = np.asarray(x).copy(); xp[0, d] += eps
+            xm = np.asarray(x).copy(); xm[0, d] -= eps
+            fd = (f(jnp.asarray(xp)) - f(jnp.asarray(xm))) / (2 * eps)
+            np.testing.assert_allclose(dx[d], fd, rtol=5e-2, atol=1e-3)
+
+    def test_oob_gradients_zero(self):
+        emb = init_hashgrid(jax.random.PRNGKey(2), self.cfg)
+        x = jnp.asarray([[1.5, 0.0, 0.0]], jnp.float32)
+
+        def f(e, xx):
+            return jnp.sum(hashgrid_encode(e, xx, self.cfg))
+
+        de, dx = jax.grad(f, argnums=(0, 1))(emb, x)
+        assert float(jnp.abs(de).sum()) == 0.0
+        assert float(jnp.abs(dx).sum()) == 0.0
+
+
+class TestPallasSegmentAdd:
+    def test_matches_scatter(self):
+        from foundationpose_tpu.ops.pallas_scatter import sorted_segment_add_pallas
+
+        rng = np.random.default_rng(3)
+        M, TBL, C = 4096, 1500, 2
+        idx = rng.integers(0, TBL, M).astype(np.int32)
+        idx[:1500] = 3  # heavy duplication
+        upd = rng.normal(size=(M, C)).astype(np.float32)
+        want = np.zeros((TBL, C), np.float32)
+        np.add.at(want, idx, upd)
+        got = np.asarray(
+            sorted_segment_add_pallas(
+                jnp.asarray(idx), jnp.asarray(upd), TBL, block=256, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_sentinel_dropped(self):
+        from foundationpose_tpu.ops.pallas_scatter import sorted_segment_add_pallas
+
+        idx = np.array([0, 5, 2000, 5], np.int32)  # 2000 >= TBL dropped
+        upd = np.ones((4, 2), np.float32)
+        got = np.asarray(
+            sorted_segment_add_pallas(
+                jnp.asarray(idx), jnp.asarray(upd), 1000, block=256, interpret=True
+            )
+        )
+        assert got[0, 0] == 1.0 and got[5, 0] == 2.0
+        assert got.sum() == 6.0
