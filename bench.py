@@ -60,7 +60,22 @@ def main():
         refiner=RefinerCfg(raster=raster),
         scorer=ScorerCfg(mode="network", raster=raster),
     )
-    est = FoundationPose(mesh=mesh, cfg=cfg)
+    # Random-init weights, passed explicitly: the benchmark times the
+    # REAL network path (refine x5 + score); accuracy needs trained or
+    # converted checkpoints.
+    import jax
+
+    from foundationpose_tpu.models.networks import (
+        init_refine_net,
+        init_score_net,
+    )
+
+    est = FoundationPose(
+        mesh=mesh,
+        cfg=cfg,
+        refiner_params=init_refine_net(jax.random.PRNGKey(0), cfg.refiner.net),
+        scorer_params=init_score_net(jax.random.PRNGKey(1), cfg.scorer.net),
+    )
     n_hyp = int(np.asarray(est.hyp_valid).sum())
 
     # Warmup (compile), then timed runs.

@@ -46,7 +46,9 @@ class ScorerCfg:
     crop_ratio: float = 1.2
     normalize_xyz: bool = True
     xyz_invalid_z: float = 0.1  # TripletH5Dataset threshold (h5_dataset.py:151)
-    mode: str = "network"  # or "depth" (classical fallback, no weights needed)
+    # "auto": network when scorer weights are provided, classical depth
+    # alignment otherwise; or force "network" / "depth".
+    mode: str = "auto"
     compute_dtype: str = "bfloat16"
     raster: RasterCfg = dataclasses.field(default_factory=RasterCfg)
 

@@ -65,10 +65,24 @@ class FoundationPose:
         self.pose_last: jax.Array | None = None
         self.K_last = None
 
+        # Weights-awareness: a randomly initialized refiner would apply
+        # garbage deltas, so refinement is skipped unless real weights
+        # are supplied; the scorer falls back to the classical depth
+        # scorer in "auto" mode.
+        self.has_refiner = refiner_params is not None
+        if self.cfg.scorer.mode == "auto":
+            import dataclasses as _dc
+
+            resolved = "network" if scorer_params is not None else "depth"
+            self.cfg = _dc.replace(
+                self.cfg, scorer=_dc.replace(self.cfg.scorer, mode=resolved)
+            )
+            logger.info("scorer mode auto -> %s", resolved)
         if refiner_params is None:
             refiner_params = init_refine_net(
                 jax.random.PRNGKey(0), self.cfg.refiner.net
             )
+            logger.info("no refiner weights: refinement iterations disabled")
         if scorer_params is None:
             scorer_params = init_score_net(jax.random.PRNGKey(1), self.cfg.scorer.net)
         self.refiner_params = refiner_params
@@ -201,7 +215,7 @@ class FoundationPose:
             jnp.asarray(depth, dtype=jnp.float32),
             jnp.asarray(mask_np),
             jnp.float32(self.diameter),
-            iterations=int(iteration),
+            iterations=int(iteration) if self.has_refiner else 0,
         )
         self.poses = refined
         self.scores = scores
@@ -242,8 +256,15 @@ class FoundationPose:
 
         if refiner_path:
             self.refiner_params = load_params(refiner_path)
+            self.has_refiner = True
         if scorer_path:
             self.scorer_params = load_params(scorer_path)
+            import dataclasses as _dc
+
+            if self.cfg.scorer.mode == "depth":
+                self.cfg = _dc.replace(
+                    self.cfg, scorer=_dc.replace(self.cfg.scorer, mode="network")
+                )
 
     def track_one(self, rgb, depth, K, iteration=2, extra=None) -> np.ndarray:
         """Per-frame tracking: refine-only from pose_last (estimater.py:250-268)."""
@@ -260,7 +281,7 @@ class FoundationPose:
             jnp.asarray(rgb, dtype=jnp.uint8),
             jnp.asarray(depth, dtype=jnp.float32),
             jnp.float32(self.diameter),
-            iterations=int(iteration),
+            iterations=int(iteration) if self.has_refiner else 0,
         )
         self.pose_last = pose
         return (
