@@ -147,8 +147,12 @@ class NerfRunner:
         self.global_step = 0
 
     # ----------------------------------------------------------- render
+    #
+    # NOTE: traced code must take the big device arrays (rays, occupancy
+    # grid, c2w) as ARGUMENTS — closing over them would inline them as
+    # HLO constants (hundreds of MB of compile payload).
 
-    def _frame_tf(self, params, frame_ids):
+    def _frame_tf(self, params, frame_ids, c2w):
         """Per-frame corrected cam_in_ob (nerf_runner.py:769-771)."""
         if self.cfg.optimize_poses:
             corr = pose_array_matrices(
@@ -156,17 +160,17 @@ class NerfRunner:
                 self.cfg.max_trans * self.cfg.sc_factor,
                 self.cfg.max_rot,
             )
-            return corr[frame_ids] @ self.c2w[frame_ids]
-        return self.c2w[frame_ids]
+            return corr[frame_ids] @ c2w[frame_ids]
+        return c2w[frame_ids]
 
-    def _render_rays(self, params, batch, key, perturb=True):
+    def _render_rays(self, params, batch, key, occ, c2w, perturb=True):
         """Returns dict: rgb (N,3), sdf (N,S), z_vals (N,S), valid (N,S)."""
         cfg = self.cfg
         dirs = batch["dir"]  # (N, 3) cam frame, z = 1
         depth = batch["depth"]  # (N,) normalized units
         frame_ids = batch["frame_id"]
         N = dirs.shape[0]
-        tf = self._frame_tf(params, frame_ids)  # (N, 4, 4)
+        tf = self._frame_tf(params, frame_ids, c2w)  # (N, 4, 4)
 
         rays_o_w = tf[:, :3, 3]
         rays_d_w = jnp.einsum("nij,nj->ni", tf[:, :3, :3], dirs)
@@ -175,7 +179,7 @@ class NerfRunner:
 
         k1, k2 = jax.random.split(key)
         z_occ, valid_occ = sample_occupied(
-            self.occ,
+            occ,
             rays_o_w,
             rays_d_w,
             k1,
@@ -243,9 +247,9 @@ class NerfRunner:
 
     # ------------------------------------------------------------ losses
 
-    def _loss(self, params, batch, key):
+    def _loss(self, params, batch, key, occ, c2w):
         cfg = self.cfg
-        out = self._render_rays(params, batch, key, perturb=True)
+        out = self._render_rays(params, batch, key, occ, c2w, perturb=True)
         sdf = out["sdf"]
         z_vals = out["z_vals"]
         valid = out["valid"]
@@ -296,17 +300,30 @@ class NerfRunner:
         }
         return loss, aux
 
-    @functools.partial(jax.jit, static_argnames=("self",))
+    def _make_train_step(self):
+        optimizer = self.optimizer
+        n_rand = self.cfg.n_rand
+
+        def step(params, opt_state, rays, occ, c2w, key):
+            k1, k2 = jax.random.split(key)
+            n_rays = rays["dir"].shape[0]
+            idx = jax.random.randint(k1, (n_rand,), 0, n_rays)
+            batch = {k: v[idx] for k, v in rays.items()}
+            (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                params, batch, k2, occ, c2w
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, aux
+
+        return jax.jit(step)
+
     def _train_step(self, params, opt_state, key):
-        k1, k2 = jax.random.split(key)
-        idx = jax.random.randint(k1, (self.cfg.n_rand,), 0, self.n_rays)
-        batch = {k: v[idx] for k, v in self.rays.items()}
-        (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
-            params, batch, k2
+        if not hasattr(self, "_train_step_fn"):
+            self._train_step_fn = self._make_train_step()
+        return self._train_step_fn(
+            params, opt_state, self.rays, self.occ, self.c2w, key
         )
-        updates, opt_state = self.optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, aux
 
     def train(self, seed: int = 0, ckpt_dir: str | None = None, i_weights: int = 500):
         """Train loop with optional periodic orbax checkpoints
@@ -370,9 +387,9 @@ class NerfRunner:
         idxs = np.nonzero(occ_mask)[0]
 
         @jax.jit
-        def q(p):
-            emb = hashgrid_encode(self.params["grid"], p, self.grid_cfg)
-            return apply_nerf_sdf(self.params["mlp"], emb)
+        def q(grid, mlp, p):
+            emb = hashgrid_encode(grid, p, self.grid_cfg)
+            return apply_nerf_sdf(mlp, emb)
 
         for s in range(0, len(idxs), chunk):
             sel = idxs[s : s + chunk]
@@ -380,7 +397,7 @@ class NerfRunner:
             pad = (-len(sel)) % 1024
             if pad:
                 p = jnp.concatenate([p, jnp.zeros((pad, 3), jnp.float32)])
-            vals = np.asarray(q(p))[: len(sel)]
+            vals = np.asarray(q(self.params["grid"], self.params["mlp"], p))[: len(sel)]
             sdf[sel] = vals
         return sdf.reshape(G, G, G), coords
 
