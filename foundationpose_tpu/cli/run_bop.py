@@ -30,6 +30,10 @@ def run_dataset(args):
     video_dirs = get_bop_video_dirs(args.dataset)
     if args.max_videos:
         video_dirs = video_dirs[: args.max_videos]
+    # Embarrassingly-parallel fan-out across hosts (SURVEY.md §2.9): each
+    # worker takes every num_shards-th scene; results merge by YAML cat.
+    if args.num_shards > 1:
+        video_dirs = video_dirs[args.shard_index :: args.num_shards]
     res = {}
     est = None
     for video_dir in video_dirs:
@@ -120,6 +124,9 @@ def main(argv=None):
     parser.add_argument("--ref_view_dir", type=str, default=None)
     parser.add_argument("--detect_type", type=str, default="mask_visib")
     parser.add_argument("--max_videos", type=int, default=0)
+    parser.add_argument("--num_shards", type=int, default=1,
+                        help="split scenes across hosts (with --shard_index)")
+    parser.add_argument("--shard_index", type=int, default=0)
     parser.add_argument("--refiner_ckpt", type=str, default=None)
     parser.add_argument("--scorer_ckpt", type=str, default=None)
     parser.add_argument("--score", action="store_true", help="score an existing result file")

@@ -470,3 +470,18 @@ def decimate_vertex_clustering(mesh: TriMesh, voxel_size: float) -> TriMesh:
         & (faces[:, 0] != faces[:, 2])
     )
     return TriMesh(vertices=verts, faces=faces[ok], vertex_colors=colors)
+
+
+def add_pure_colored_texture(mesh: TriMesh, color=(255, 255, 255),
+                             resolution: int = 5) -> TriMesh:
+    """Uniform-color appearance for untextured CAD models
+    (Utils.py:658-662 / TlessReader). Implemented as per-vertex colors —
+    the rasterizer treats flat vertex colors and a flat texture
+    identically."""
+    out = mesh.copy()
+    out.vertex_colors = np.tile(
+        np.asarray(color, np.uint8).reshape(1, 3), (len(out.vertices), 1)
+    )
+    out.uv = None
+    out.texture = None
+    return out

@@ -371,6 +371,64 @@ class NerfRunner:
         self.global_step = step
         logger.info("resumed from step %d", step)
 
+    def render_frame(self, frame_idx: int, chunk: int = 4096):
+        """Render a full training view from the learned field — the eval
+        imagery of nerf_runner.render_images (nerf_runner.py:432-489).
+
+        Returns (rgb (H, W, 3) float, depth (H, W) normalized units) with
+        zeros outside the frame's ray set.
+        """
+        rays_np = {k: np.asarray(v) for k, v in self.rays.items()}
+        sel = rays_np["frame_id"] == frame_idx
+        dirs = rays_np["dir"][sel]
+        depth_gt = rays_np["depth"][sel]
+        n = len(dirs)
+
+        rgb_out = np.zeros((n, 3), np.float32)
+        depth_out = np.zeros((n,), np.float32)
+
+        @jax.jit
+        def render_chunk(params, batch, occ, c2w):
+            out = self._render_rays(
+                params, batch, jax.random.PRNGKey(0), occ, c2w, perturb=False
+            )
+            # surface depth = first sdf sign change along sorted z
+            order = jnp.argsort(out["z_vals"], axis=-1)
+            z_s = jnp.take_along_axis(out["z_vals"], order, axis=-1)
+            sdf_s = jnp.take_along_axis(out["sdf"], order, axis=-1)
+            signs = sdf_s[:, 1:] * sdf_s[:, :-1]
+            crossing = signs < 0
+            first = jnp.argmax(crossing, axis=-1)
+            has = jnp.any(crossing, axis=-1)
+            zhit = jnp.take_along_axis(z_s, first[:, None], axis=1)[:, 0]
+            zhit = jnp.where(has, zhit, self.cfg.far * self.cfg.sc_factor)
+            return out["rgb"], zhit
+
+        for s0 in range(0, n, chunk):
+            e = min(s0 + chunk, n)
+            pad = (-(e - s0)) % 256
+            batch = {
+                "dir": jnp.asarray(
+                    np.concatenate([dirs[s0:e], np.zeros((pad, 3), np.float32)])
+                ),
+                "depth": jnp.asarray(
+                    np.concatenate([depth_gt[s0:e], np.zeros((pad,), np.float32)])
+                ),
+                "frame_id": jnp.full((e - s0 + pad,), frame_idx, jnp.int32),
+            }
+            rgb_c, z_c = render_chunk(self.params, batch, self.occ, self.c2w)
+            rgb_out[s0:e] = np.asarray(rgb_c)[: e - s0]
+            depth_out[s0:e] = np.asarray(z_c)[: e - s0]
+
+        rgb_full = np.zeros((self.H, self.W, 3), np.float32)
+        depth_full = np.zeros((self.H, self.W), np.float32)
+        u = np.round(dirs[:, 0] * self.K[0, 0] / dirs[:, 2] + self.K[0, 2]).astype(int)
+        v = np.round(dirs[:, 1] * self.K[1, 1] / dirs[:, 2] + self.K[1, 2]).astype(int)
+        ok = (u >= 0) & (u < self.W) & (v >= 0) & (v < self.H)
+        rgb_full[v[ok], u[ok]] = rgb_out[ok]
+        depth_full[v[ok], u[ok]] = depth_out[ok]
+        return rgb_full, depth_full
+
     # ------------------------------------------------------ extraction
 
     def query_sdf_grid(self, voxel_size: float | None = None, chunk: int = 262144):

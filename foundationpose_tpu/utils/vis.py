@@ -93,6 +93,24 @@ def depth_to_vis(depth, zmin=None, zmax=None, mode="rgb", inverse=True):
     return cv2.applyColorMap((vis * 255).astype(np.uint8), cv2.COLORMAP_JET)[..., ::-1]
 
 
+def cv_draw_text(img, text, uv_top_left, color=(255, 255, 255), font_scale=0.5,
+                 thickness=1, line_spacing=1.5):
+    """Multi-line text kept inside the image (Utils.py:630-655)."""
+    import cv2
+
+    H, W = img.shape[:2]
+    uv = np.array(uv_top_left, dtype=float)
+    for line in text.splitlines():
+        (w, h), _ = cv2.getTextSize(line, cv2.FONT_HERSHEY_SIMPLEX, font_scale, thickness)
+        org = uv + [0, h]
+        org[0] = np.clip(org[0], 0, max(W - w - 1, 0))
+        org[1] = np.clip(org[1], h, H - 1)
+        cv2.putText(img, line, tuple(org.astype(int)), cv2.FONT_HERSHEY_SIMPLEX,
+                    font_scale, color, thickness, cv2.LINE_AA)
+        uv[1] = org[1] + h * (line_spacing - 1) + h
+    return img
+
+
 def make_grid_image(imgs, nrow, padding=5, pad_value=255):
     """(B, H, W, C) -> one tiled grid image (torchvision-free)."""
     imgs = [np.asarray(im) for im in imgs]
