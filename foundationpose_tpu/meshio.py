@@ -360,6 +360,27 @@ def export_obj(mesh: TriMesh, path: str) -> None:
             fo.write(f"mtllib {os.path.basename(mtl)}\nusemtl material_0\n" + content)
 
 
+def export_ply(mesh: TriMesh, path: str) -> None:
+    """ASCII PLY with optional vertex colors (BOP model format)."""
+    has_color = mesh.vertex_colors is not None
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(mesh.vertices)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if has_color:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(f"element face {len(mesh.faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for i, v in enumerate(mesh.vertices):
+            line = f"{v[0]:.8f} {v[1]:.8f} {v[2]:.8f}"
+            if has_color:
+                c = mesh.vertex_colors[i]
+                line += f" {int(c[0])} {int(c[1])} {int(c[2])}"
+            f.write(line + "\n")
+        for face in mesh.faces:
+            f.write(f"3 {face[0]} {face[1]} {face[2]}\n")
+
+
 def make_box(extents: np.ndarray) -> TriMesh:
     """Axis-aligned box mesh centered at origin (placeholder-object helper,
     used like the reference's trimesh box at run_ycb_video.py:87)."""
