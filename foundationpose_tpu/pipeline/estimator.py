@@ -57,13 +57,24 @@ class FoundationPose:
         scorer_params=None,
         debug: int = 0,
         debug_dir: str | None = None,
+        n_devices: int | None = None,
     ):
+        """n_devices > 1 shards the hypothesis batch across a 1-D device
+        mesh (SURVEY.md §2.9): rendering, crops and conv trunks are
+        embarrassingly parallel; GSPMD inserts the one all-gather the
+        scorer's cross-hypothesis attention needs. None = single device.
+        """
         self.cfg = cfg or EstimatorCfg()
         self.debug = debug
         self.debug_dir = debug_dir
         self.gt_pose = None
         self.pose_last: jax.Array | None = None
         self.K_last = None
+        self.device_mesh = None
+        if n_devices is not None and n_devices > 1:
+            from ..parallel.sharding import make_device_mesh
+
+            self.device_mesh = make_device_mesh(n_devices)
 
         # Weights-awareness: a randomly initialized refiner would apply
         # garbage deltas, so refinement is skipped unless real weights
@@ -85,6 +96,11 @@ class FoundationPose:
             logger.info("no refiner weights: refinement iterations disabled")
         if scorer_params is None:
             scorer_params = init_score_net(jax.random.PRNGKey(1), self.cfg.scorer.net)
+        if self.device_mesh is not None:
+            from ..parallel.sharding import replicate_tree
+
+            refiner_params = replicate_tree(refiner_params, self.device_mesh)
+            scorer_params = replicate_tree(scorer_params, self.device_mesh)
         self.refiner_params = refiner_params
         self.scorer_params = scorer_params
 
@@ -172,13 +188,25 @@ class FoundationPose:
             self.cfg.cluster_angle_deg, 99999.0, rot_grid, self.symmetry_tfs
         )
         n = len(rot_grid)
-        pad = (-n) % self.cfg.rot_grid_pad
+        pad_mult = self.cfg.rot_grid_pad
+        if self.device_mesh is not None:
+            # pad to a multiple of the device count so the hypothesis
+            # batch shards evenly
+            pad_mult = int(np.lcm(pad_mult, self.device_mesh.devices.size))
+        pad = (-n) % pad_mult
         if pad:
             rot_grid = np.concatenate([rot_grid, np.tile(np.eye(4)[None], (pad, 1, 1))])
         self.hyp_valid = jnp.asarray(
             np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
         )
         self.rot_grid = jnp.asarray(rot_grid, dtype=jnp.float32)
+        if self.device_mesh is not None:
+            from ..parallel.sharding import batch_sharding, replicate_tree
+
+            sh = batch_sharding(self.device_mesh)
+            self.rot_grid = jax.device_put(self.rot_grid, sh)
+            self.hyp_valid = jax.device_put(self.hyp_valid, sh)
+            self.mesh_tensors = replicate_tree(self.mesh_tensors, self.device_mesh)
         logger.info("rotation grid: %d (+%d pad)", n, pad)
 
     # --------------------------------------------------------- inference

@@ -149,3 +149,21 @@ def test_dp_scorer_train_step():
         batch_sh,
     )
     assert np.isfinite(float(loss))
+
+
+def test_full_register_sharded_matches_single():
+    """FoundationPose(n_devices=8): end-to-end register equals the
+    single-device result (hypothesis batch sharded, GSPMD collectives)."""
+    from foundationpose_tpu.pipeline import FoundationPose
+    from tests.test_pipeline import colored_box, synth_frame, tiny_cfg, K
+
+    mesh = colored_box()
+    gt = np.eye(4)
+    gt[:3, 3] = [0.01, -0.02, 0.85]
+    rgb, depth, mask = synth_frame(mesh, gt)
+
+    est1 = FoundationPose(mesh=mesh, cfg=tiny_cfg())
+    p1 = est1.register(K, rgb, depth, mask, iteration=0)
+    est8 = FoundationPose(mesh=mesh, cfg=tiny_cfg(), n_devices=8)
+    p8 = est8.register(K, rgb, depth, mask, iteration=0)
+    np.testing.assert_allclose(p8, p1, atol=1e-4)
