@@ -25,12 +25,19 @@ def main():
     from foundationpose_tpu.ops import render_mesh
     from foundationpose_tpu.pipeline import EstimatorCfg, ScorerCfg, FoundationPose
 
-    # ~5k-face object, 0.2 m diameter (mustard-bottle-class workload).
+    # ~5k-face TEXTURED object, 0.2 m diameter (mustard-bottle-class
+    # workload; real YCB meshes are textured, so the benchmark exercises
+    # the texture-sampling path).
     verts, faces = icosphere(4, radius=0.1)
     rng = np.random.default_rng(0)
     verts = verts * (1.0 + 0.15 * np.sin(8 * verts[:, 2:3]))  # non-sphere shape
-    colors = rng.integers(30, 255, size=(len(verts), 3)).astype(np.uint8)
-    mesh = TriMesh(vertices=verts, faces=faces, vertex_colors=colors)
+    n = verts / np.linalg.norm(verts, axis=-1, keepdims=True)
+    uv = np.stack(
+        [np.arctan2(n[:, 1], n[:, 0]) / (2 * np.pi) + 0.5,
+         n[:, 2] * 0.5 + 0.5], axis=-1,
+    ).astype(np.float32)
+    tex = rng.integers(30, 255, size=(256, 256, 3)).astype(np.uint8)
+    mesh = TriMesh(vertices=verts, faces=faces, uv=uv, texture=tex)
 
     H, W = 480, 640
     K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1.0]], np.float32)
@@ -44,7 +51,8 @@ def main():
         jnp.asarray(gt[None]),
         jnp.asarray(K),
         out_hw=(H, W),
-        vertex_color=jnp.asarray(colors.astype(np.float32) / 255.0),
+        uv=jnp.asarray(np.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=-1)),
+        tex=jnp.asarray(tex.astype(np.float32) / 255.0),
         vnormals=jnp.asarray(mesh.vertex_normals.astype(np.float32)),
         use_light=True,
     )

@@ -78,8 +78,6 @@ def make_refiner_batch(
     (gt pose) and the hypothesis (perturbed pose) crops and returns
     {'A','B','trans_target','rot_target'}."""
     from ..ops.rasterizer import render_mesh
-    from ..geometry.projection import depth_to_xyz_map, compute_crop_window_tf
-    from ..ops.warp import warp_crop
 
     k1, k2 = jax.random.split(key)
     poseA, poseB = sample_pose_pairs(k1, n)

@@ -20,7 +20,6 @@ feature/pose regularizers; sdf2weights band rendering for color.
 """
 from __future__ import annotations
 
-import functools
 import logging
 
 import jax

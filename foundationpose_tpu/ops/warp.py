@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 
 from .. import jax_config  # noqa: F401
-from ..geometry.projection import invert_affine2d
 
 
 def _sample_bilinear(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:

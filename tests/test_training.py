@@ -67,3 +67,67 @@ class TestRefinerTraining:
             losses.append(float(loss))
         assert losses[-1] < losses[0]
         assert np.isfinite(losses).all()
+
+
+class TestRefinerLearnsToRefine:
+    def test_trained_refiner_reduces_pose_error(self):
+        """End-to-end trainability proof: a small refiner trained on
+        synthetic pairs must reduce pose error when applied through the
+        full refine_poses pipeline on held-out perturbations. (The
+        reference never shipped its trainer; this validates ours.)"""
+        import dataclasses
+        from foundationpose_tpu.pipeline import RasterCfg
+        from foundationpose_tpu.pipeline.refiner import refine_poses
+        from foundationpose_tpu.pipeline import make_mesh_tensors
+        from foundationpose_tpu.utils.metrics import add_err
+        from foundationpose_tpu.ops.rasterizer import render_mesh
+        from foundationpose_tpu.geometry.projection import depth_to_xyz_map
+        from foundationpose_tpu.datasets.synthetic import sample_pose_pairs
+
+        mesh = colored_box()
+        mt = make_mesh_tensors(mesh)
+        Kj = jnp.asarray(K)
+        cfg = RefinerCfg(
+            net=RefineNetCfg(base_width=8), compute_dtype="float32",
+            input_res=64,
+        )
+        diameter = jnp.float32(0.28)
+
+        params = init_refine_net(jax.random.PRNGKey(7), cfg.net)
+        tcfg = TrainCfg(lr=1e-3, compute_dtype="float32")
+        opt_state = make_optimizer(tcfg).init(params)
+        for step in range(150):
+            batch = make_refiner_batch(
+                jax.random.PRNGKey(100 + step), mt, Kj, cfg, diameter,
+                n=16, frame_hw=(120, 160),
+            )
+            train_batch = {
+                k: batch[k] for k in ("A", "B", "trans_target", "rot_target")
+            }
+            params, opt_state, loss = refine_train_step(
+                params, opt_state, cfg.net, tcfg, train_batch
+            )
+        assert np.isfinite(float(loss))
+
+        # Held-out evaluation through the real pipeline: render an
+        # observation at gt, refine perturbed poses once.
+        poseA, poseB = sample_pose_pairs(jax.random.PRNGKey(999), 8)
+        errs_before, errs_after = [], []
+        pts = mesh.vertices
+        for i in range(8):
+            gt = np.asarray(poseB[i])
+            out = render_mesh(
+                mt.pos, mt.faces, jnp.asarray(gt[None], jnp.float32), Kj,
+                out_hw=(120, 160), vertex_color=mt.vertex_color,
+                vnormals=mt.vnormals, use_light=True,
+            )
+            rgb = out.color[0]
+            xyz = out.xyz[0]
+            refined = refine_poses(
+                params, cfg, mt, jnp.asarray(np.asarray(poseA[i])[None], jnp.float32),
+                Kj, rgb, xyz, diameter, iterations=1,
+            )
+            errs_before.append(add_err(np.asarray(poseA[i]), gt, pts))
+            errs_after.append(add_err(np.asarray(refined[0]), gt, pts))
+        # Trained refinement must help on average.
+        assert np.mean(errs_after) < np.mean(errs_before)
