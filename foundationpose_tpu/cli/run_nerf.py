@@ -44,6 +44,9 @@ def main(argv=None):
     parser.add_argument("--ref_view_dir", type=str, required=True)
     parser.add_argument("--dataset", type=str, default="ycbv", choices=["ycbv", "linemod"])
     parser.add_argument("--n_step", type=int, default=None)
+    parser.add_argument("--preset", type=str, default="parity",
+                        choices=["parity", "fast"],
+                        help="'fast' quarters per-step points (TPU_FAST_OVERRIDES)")
     parser.add_argument("--out_dir", type=str, default=None)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="[%(funcName)s()] %(message)s")
@@ -55,10 +58,13 @@ def main(argv=None):
         NerfCfg,
         run_neural_object_field,
     )
+    from foundationpose_tpu.nerf.config import TPU_FAST_OVERRIDES
 
     cfg = NerfCfg()
     if args.dataset == "linemod":
         cfg = dataclasses.replace(cfg, **LINEMOD_OVERRIDES)
+    if args.preset == "fast":
+        cfg = dataclasses.replace(cfg, **TPU_FAST_OVERRIDES)
     if args.n_step is not None:
         cfg = dataclasses.replace(cfg, n_step=args.n_step)
 

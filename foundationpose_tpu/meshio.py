@@ -449,6 +449,27 @@ def compute_mesh_diameter(model_pts: np.ndarray, n_sample: int = 10000) -> float
     return float(dists.max())
 
 
+def texture_to_vertex_colors(mesh: TriMesh) -> TriMesh:
+    """Sample the texture at each vertex UV -> per-vertex colors.
+
+    At hypothesis-crop scale (faces of a render-budgeted mesh cover ~1-2
+    pixels of a 160x160 crop) per-vertex appearance is visually
+    equivalent to per-pixel texture sampling and removes the per-pixel
+    texture gathers from the hot render loop.
+    """
+    if not mesh.has_texture:
+        return mesh
+    out = mesh.copy()
+    uv = np.clip(mesh.uv, 0.0, 1.0)
+    Ht, Wt = mesh.texture.shape[:2]
+    x = np.clip((uv[:, 0] * Wt).astype(int), 0, Wt - 1)
+    y = np.clip(((1.0 - uv[:, 1]) * Ht).astype(int), 0, Ht - 1)
+    out.vertex_colors = mesh.texture[y, x]
+    out.uv = None
+    out.texture = None
+    return out
+
+
 def decimate_vertex_clustering(mesh: TriMesh, voxel_size: float) -> TriMesh:
     """Mesh simplification by vertex clustering on a voxel grid.
 

@@ -12,7 +12,7 @@ import logging
 import numpy as np
 
 from ..meshio import TriMesh
-from .config import NerfCfg, LINEMOD_OVERRIDES
+from .config import NerfCfg, LINEMOD_OVERRIDES, TPU_FAST_OVERRIDES
 from .runner import NerfRunner
 from .scene import compute_scene_bounds, preprocess_data
 from .texture import bake_texture

@@ -66,4 +66,8 @@ class EstimatorCfg:
     # 160x160 crops resolve nothing below ~1/160 of the object extent, so
     # this bounds rasterization cost on dense meshes without accuracy loss.
     max_render_faces: int | None = 8192
+    # Bake textures to per-vertex colors for hypothesis rendering:
+    # visually equivalent at crop scale and ~2x faster (per-pixel texture
+    # gathers leave the hot loop). False = exact per-pixel texturing.
+    vertex_color_render: bool = True
     zfar: float = float("inf")

@@ -140,6 +140,10 @@ class FoundationPose:
         self.normals = jnp.asarray(normals, dtype=jnp.float32)
         self.mesh = mesh
         render_mesh_src = mesh
+        if self.cfg.vertex_color_render and mesh.has_texture:
+            from ..meshio import texture_to_vertex_colors
+
+            render_mesh_src = texture_to_vertex_colors(mesh)
         if (
             self.cfg.max_render_faces is not None
             and len(mesh.faces) > self.cfg.max_render_faces
