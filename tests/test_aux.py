@@ -228,3 +228,35 @@ class TestProfiling:
             pass
         rep = timing_report(reset=True)
         assert "unit" in rep and rep["unit"]["count"] == 1
+
+
+class TestVertexColorBake:
+    def test_texture_to_vertex_colors(self):
+        from foundationpose_tpu.meshio import make_box, texture_to_vertex_colors
+
+        mesh = make_box(np.array([0.1, 0.1, 0.1]))
+        # constant-red texture with per-vertex UVs spread over it
+        n = len(mesh.vertices)
+        mesh.uv = np.stack(
+            [np.linspace(0.1, 0.9, n), np.linspace(0.2, 0.8, n)], axis=1
+        ).astype(np.float32)
+        mesh.texture = np.full((16, 16, 3), [200, 10, 10], np.uint8)
+        baked = texture_to_vertex_colors(mesh)
+        assert baked.texture is None and baked.uv is None
+        np.testing.assert_array_equal(baked.vertex_colors, [[200, 10, 10]] * n)
+        # mesh without texture passes through unchanged
+        plain = make_box(np.array([0.1, 0.1, 0.1]))
+        assert texture_to_vertex_colors(plain) is plain
+
+
+class TestNerfPresets:
+    def test_tpu_fast_overrides_apply(self):
+        import dataclasses
+
+        from foundationpose_tpu.nerf import NerfCfg, TPU_FAST_OVERRIDES
+
+        cfg = dataclasses.replace(NerfCfg(), **TPU_FAST_OVERRIDES)
+        assert cfg.n_rand < NerfCfg().n_rand
+        assert cfg.n_samples < NerfCfg().n_samples
+        # grid capacity is untouched: the preset trades sample count only
+        assert cfg.log2_hashmap_size == NerfCfg().log2_hashmap_size
