@@ -75,3 +75,38 @@ class PairH5Dataset:
                 if k in g:
                     out[k] = np.asarray(g[k][()])
         return out
+
+
+class PoseRefinePairH5Dataset(PairH5Dataset):
+    """Named alias matching the reference's refiner train-mode reader
+    (h5_dataset.py:190-219) — PairH5Dataset already reads the H5-stored
+    trans/rot normalizers the subclass exists for."""
+
+    xyz_invalid_z = 0.001  # refiner invalid-depth threshold (m)
+
+
+class TripletH5Dataset(PairH5Dataset):
+    """Scorer training triplets (h5_dataset.py:132-179): same group
+    layout; the scorer pipeline zeroes xyz below a looser 0.1 m depth
+    threshold and consumes (anchor, positive, negative) index triples."""
+
+    xyz_invalid_z = 0.1
+
+    def load_triplet(self, key_idx: int, pos_idx: int, neg_idx: int):
+        """-> (anchor_obs, positive_render, negative_render) pair dicts;
+        anchor fields come from the 'B' (observation) side."""
+        pos = self.load_pair(key_idx, pos_idx)
+        neg = self.load_pair(key_idx, neg_idx)
+        return pos, neg
+
+
+class ScoreMultiPairH5Dataset(TripletH5Dataset):
+    """Scorer multi-pair groups (h5_dataset.py:183-187): every perturb of
+    one object key forms a single comparison group for the
+    cross-hypothesis attention head."""
+
+    def load_group(self, key_idx: int, max_pairs: int | None = None):
+        n = len(self.perturb_keys)
+        if max_pairs is not None:
+            n = min(n, max_pairs)
+        return [self.load_pair(key_idx, i) for i in range(n)]

@@ -136,3 +136,53 @@ class TestTudlReader:
             pose_c[2, 3] = gt[2, 3]  # front-surface z bias (no refiner)
             errs.append(adds_err(pose_c, gt, mesh.vertices))
         assert max(errs) < 0.06
+
+
+class TestH5Datasets:
+    def _make_h5(self, path):
+        import h5py
+
+        rng = np.random.default_rng(0)
+        with h5py.File(path, "w") as hf:
+            for key in ("ob_a", "ob_b"):
+                g = hf.create_group(key)
+                for i in range(3):
+                    p = g.create_group(f"i_perturb_{i}")
+                    p["rgbA"] = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                    p["rgbB"] = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                    p["depthA"] = rng.integers(400, 900, (32, 32)).astype(np.uint16)
+                    p["depthB"] = rng.integers(400, 900, (32, 32)).astype(np.uint16)
+                    p["poseA"] = np.eye(4, dtype=np.float32)
+                    p["poseB"] = np.eye(4, dtype=np.float32)
+                    p["K"] = np.eye(3, dtype=np.float32)
+                    p["crop_ratio"] = 1.4
+                    p["trans_normalizer"] = np.array([0.01, 0.01, 0.02])
+                    p["rot_normalizer"] = 30.0
+                    p["mesh_diameter"] = 0.2
+        return path
+
+    def test_pair_and_variants(self, tmp_path):
+        from foundationpose_tpu.datasets.h5_pairs import (
+            PairH5Dataset,
+            PoseRefinePairH5Dataset,
+            ScoreMultiPairH5Dataset,
+            TripletH5Dataset,
+        )
+
+        f = self._make_h5(str(tmp_path / "pairs.h5"))
+        ds = PairH5Dataset(f)
+        assert len(ds) == 2 and len(ds.perturb_keys) == 3
+        assert ds.crop_ratio == 1.4
+        np.testing.assert_allclose(ds.rot_normalizer, np.deg2rad(30.0))
+        pair = ds.load_pair(0, 1)
+        assert pair["rgbA"].shape == (32, 32, 3)
+        assert pair["depthB"].dtype == np.float32  # mm -> m
+        assert pair["depthB"].max() < 1.0
+
+        assert PoseRefinePairH5Dataset(f).xyz_invalid_z == 0.001
+        tri = TripletH5Dataset(f)
+        assert tri.xyz_invalid_z == 0.1
+        pos, neg = tri.load_triplet(0, 0, 2)
+        assert pos["rgbA"].shape == neg["rgbA"].shape
+        group = ScoreMultiPairH5Dataset(f).load_group(1, max_pairs=2)
+        assert len(group) == 2
