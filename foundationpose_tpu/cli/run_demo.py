@@ -31,19 +31,35 @@ def build_estimator(mesh, args):
         ScorerCfg,
     )
 
+    from foundationpose_tpu.utils.checkpoint import load_params
+
+    def _has_bn(params) -> bool:
+        # converted trees keep 'bn' subdicts in conv_bn blocks only
+        # when the checkpoint was trained with BatchNorm
+        trunk = params.get("encodeA") or params.get("encoderA") or {}
+        return "bn" in trunk.get("0", {})
+
     refiner_params = scorer_params = None
     refiner_cfg = RefinerCfg()
     scorer_mode = "depth"
     scorer_cfg_net = ScoreNetCfg()
     if args.refiner_ckpt:
-        sd = load_torch_state_dict(args.refiner_ckpt)
-        use_bn = detect_use_bn(sd)
-        refiner_params = convert_refine_net(sd, use_bn)
+        if args.refiner_ckpt.endswith(".npz"):  # from cli.convert_weights
+            refiner_params = load_params(args.refiner_ckpt)
+            use_bn = _has_bn(refiner_params)
+        else:
+            sd = load_torch_state_dict(args.refiner_ckpt)
+            use_bn = detect_use_bn(sd)
+            refiner_params = convert_refine_net(sd, use_bn)
         refiner_cfg = RefinerCfg(net=RefineNetCfg(use_bn=use_bn))
     if args.scorer_ckpt:
-        sd = load_torch_state_dict(args.scorer_ckpt)
-        use_bn = detect_use_bn(sd)
-        scorer_params = convert_score_net(sd, use_bn)
+        if args.scorer_ckpt.endswith(".npz"):
+            scorer_params = load_params(args.scorer_ckpt)
+            use_bn = _has_bn(scorer_params)
+        else:
+            sd = load_torch_state_dict(args.scorer_ckpt)
+            use_bn = detect_use_bn(sd)
+            scorer_params = convert_score_net(sd, use_bn)
         scorer_cfg_net = ScoreNetCfg(use_bn=use_bn)
         scorer_mode = "network"
 

@@ -13,13 +13,16 @@ import numpy as np
 
 
 def _flatten(tree, prefix=""):
+    # List indices flatten as '#i' so they stay distinguishable from
+    # dicts with digit-string keys (the network param trees use "0","1"
+    # sub-block names, which must NOT come back as lists).
     out = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):
-            out.update(_flatten(v, f"{prefix}{i}/"))
+            out.update(_flatten(v, f"{prefix}#{i}/"))
     else:
         out[prefix[:-1]] = np.asarray(tree)
     return out
@@ -37,8 +40,11 @@ def _unflatten(flat: dict):
     def listify(d):
         if isinstance(d, dict):
             keys = list(d.keys())
-            if keys and all(k.isdigit() for k in keys):
-                return [listify(d[str(i)]) for i in range(len(keys))]
+            if keys and all(k.startswith("#") and k[1:].isdigit() for k in keys):
+                return [listify(d[f"#{i}"]) for i in range(len(keys))]
+            # pre-'#' archives flattened list indices as bare digits;
+            # only treat those as lists when ALL keys are digits AND the
+            # archive has no '#' markers anywhere (legacy format)
             return {k: listify(v) for k, v in d.items()}
         return d
 

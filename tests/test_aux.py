@@ -260,3 +260,97 @@ class TestNerfPresets:
         assert cfg.n_samples < NerfCfg().n_samples
         # grid capacity is untouched: the preset trades sample count only
         assert cfg.log2_hashmap_size == NerfCfg().log2_hashmap_size
+
+
+class TestConvertWeightsCli:
+    def test_roundtrip(self, tmp_path):
+        import torch
+
+        import tests.test_networks as tn
+        from foundationpose_tpu.cli.convert_weights import main as convert_main
+        from foundationpose_tpu.models.convert import (
+            convert_refine_net,
+            load_torch_state_dict,
+        )
+        from foundationpose_tpu.utils.checkpoint import load_params
+
+        torch.manual_seed(0)
+        tnet = tn.TorchRefineNet(use_bn=True)
+        ckpt = str(tmp_path / "refine.pth")
+        torch.save({"model": tnet.state_dict()}, ckpt)
+
+        out_dir = str(tmp_path / "npz")
+        convert_main(["--refiner_ckpt", ckpt, "--out_dir", out_dir])
+
+        loaded = load_params(f"{out_dir}/refiner.npz")
+        direct = convert_refine_net(load_torch_state_dict(ckpt), use_bn=True)
+
+        import jax
+
+        leaves_a = jax.tree_util.tree_leaves(loaded)
+        leaves_b = jax.tree_util.tree_leaves(direct)
+        assert len(leaves_a) == len(leaves_b)
+        for a, b in zip(leaves_a, leaves_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestLoadedParamsApply:
+    def test_npz_loaded_refiner_params_run(self, tmp_path):
+        """Regression: digit-string param sub-block names ("0","1",...)
+        must survive the npz roundtrip as dicts — an earlier unflatten
+        turned them into lists, crashing apply at the first indexing."""
+        import jax.numpy as jnp
+
+        from foundationpose_tpu.models.networks import (
+            RefineNetCfg,
+            apply_refine_net,
+            init_refine_net,
+        )
+        from foundationpose_tpu.utils.checkpoint import load_params, save_params
+
+        cfg = RefineNetCfg(base_width=4)
+        params = init_refine_net(jax.random.PRNGKey(0), cfg)
+        p = str(tmp_path / "r.npz")
+        save_params(p, params)
+        loaded = load_params(p)
+        A = jnp.zeros((2, 160, 160, 6), jnp.float32)
+        out1 = apply_refine_net(params, cfg, A, A)
+        out2 = apply_refine_net(loaded, cfg, A, A)
+        for k in ("trans", "rot"):
+            np.testing.assert_allclose(
+                np.asarray(out1[k]), np.asarray(out2[k]), atol=1e-6
+            )
+
+
+class TestBuildEstimatorNpz:
+    def test_npz_ckpt_paths(self, tmp_path):
+        """build_estimator accepts converted-npz checkpoints and detects
+        the BN variant from the param tree."""
+        import argparse
+
+        import jax
+
+        from foundationpose_tpu.cli.run_demo import build_estimator
+        from foundationpose_tpu.meshio import make_box
+        from foundationpose_tpu.models.networks import (
+            RefineNetCfg,
+            ScoreNetCfg,
+            init_refine_net,
+            init_score_net,
+        )
+        from foundationpose_tpu.utils.checkpoint import save_params
+
+        r = init_refine_net(jax.random.PRNGKey(0), RefineNetCfg(use_bn=True))
+        s = init_score_net(jax.random.PRNGKey(1), ScoreNetCfg(use_bn=False))
+        rp = str(tmp_path / "refiner.npz")
+        sp = str(tmp_path / "scorer.npz")
+        save_params(rp, r)
+        save_params(sp, s)
+        args = argparse.Namespace(
+            refiner_ckpt=rp, scorer_ckpt=sp, debug=0, debug_dir=str(tmp_path)
+        )
+        est = build_estimator(make_box(np.array([0.1, 0.1, 0.1])), args)
+        assert est.cfg.refiner.net.use_bn is True
+        assert est.cfg.scorer.net.use_bn is False
+        assert est.cfg.scorer.mode == "network"
+        assert est.has_refiner
