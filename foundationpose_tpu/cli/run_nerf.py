@@ -48,6 +48,10 @@ def main(argv=None):
                         choices=["parity", "fast"],
                         help="'fast' quarters per-step points (TPU_FAST_OVERRIDES)")
     parser.add_argument("--out_dir", type=str, default=None)
+    parser.add_argument("--artifact_dir", type=str, default=None,
+                        help="periodic eval image/mesh dumps during training")
+    parser.add_argument("--i_img", type=int, default=500)
+    parser.add_argument("--i_mesh", type=int, default=500)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="[%(funcName)s()] %(message)s")
 
@@ -74,7 +78,8 @@ def main(argv=None):
     for ob_dir in ob_dirs:
         rgbs, depths, masks, cam_in_obs, K = load_ref_views(ob_dir)
         mesh, _runner = run_neural_object_field(
-            cfg, K, rgbs, depths, masks, cam_in_obs
+            cfg, K, rgbs, depths, masks, cam_in_obs,
+            artifact_dir=args.artifact_dir, i_img=args.i_img, i_mesh=args.i_mesh,
         )
         out_dir = args.out_dir or f"{ob_dir}/model"
         os.makedirs(out_dir, exist_ok=True)

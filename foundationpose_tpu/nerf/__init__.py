@@ -29,6 +29,9 @@ def run_neural_object_field(
     cam_in_obs: np.ndarray,
     tex_res: int | None = None,
     seed: int = 0,
+    artifact_dir: str | None = None,
+    i_img: int = 500,
+    i_mesh: int = 500,
 ) -> tuple[TriMesh, NerfRunner]:
     """Full model-free pipeline (run_nerf.py:18-46, CV convention):
     scene normalization -> SDF field training -> mesh extraction ->
@@ -53,7 +56,7 @@ def run_neural_object_field(
     runner = NerfRunner(
         cfg, rgbs_n, depths_n, masks, poses_n, K, build_pcd=pts_norm, seed=seed
     )
-    runner.train(seed=seed)
+    runner.train(seed=seed, artifact_dir=artifact_dir, i_img=i_img, i_mesh=i_mesh)
 
     mesh = runner.extract_mesh(voxel_size=cfg.mesh_resolution)
     if len(mesh.vertices) == 0 or len(mesh.faces) == 0:

@@ -324,9 +324,19 @@ class NerfRunner:
             params, opt_state, self.rays, self.occ, self.c2w, key
         )
 
-    def train(self, seed: int = 0, ckpt_dir: str | None = None, i_weights: int = 500):
+    def train(
+        self,
+        seed: int = 0,
+        ckpt_dir: str | None = None,
+        i_weights: int = 500,
+        artifact_dir: str | None = None,
+        i_img: int = 500,
+        i_mesh: int = 500,
+    ):
         """Train loop with optional periodic orbax checkpoints
-        (cadence like nerf_runner.py:593-594; resume via .resume())."""
+        (cadence like nerf_runner.py:593-594; resume via .resume()) and
+        periodic image/mesh artifact dumps (the reference's i_img/i_mesh
+        observability, nerf_runner.py:596-680)."""
         key = jax.random.PRNGKey(seed)
         n = self.cfg.n_step + 1
         for it in range(self.global_step, n):
@@ -345,8 +355,35 @@ class NerfRunner:
                 )
             if ckpt_dir is not None and it > 0 and it % i_weights == 0:
                 self.save_weights(ckpt_dir)
+            if artifact_dir is not None and it > 0:
+                self._dump_artifacts(artifact_dir, it, i_img, i_mesh)
         if ckpt_dir is not None:
             self.save_weights(ckpt_dir)
+
+    def _dump_artifacts(self, artifact_dir: str, it: int, i_img: int, i_mesh: int):
+        """Periodic eval imagery + mesh snapshots (nerf_runner.py:596-680)."""
+        import os
+
+        if i_img > 0 and it % i_img == 0:
+            import imageio.v2 as imageio
+
+            os.makedirs(f"{artifact_dir}/image", exist_ok=True)
+            rgb, depth = self.render_frame(0)
+            canvas = np.concatenate(
+                [rgb, np.repeat(depth[..., None] / max(depth.max(), 1e-6), 3, -1)],
+                axis=1,
+            )
+            imageio.imwrite(
+                f"{artifact_dir}/image/step_{it:07d}.png",
+                (np.clip(canvas, 0, 1) * 255).astype(np.uint8),
+            )
+        if i_mesh > 0 and it % i_mesh == 0:
+            mesh = self.extract_mesh(voxel_size=self.cfg.mesh_resolution)
+            if len(mesh.vertices):
+                os.makedirs(f"{artifact_dir}/mesh", exist_ok=True)
+                self.mesh_to_real_world(mesh).export(
+                    f"{artifact_dir}/mesh/step_{it:07d}.obj"
+                )
 
     def save_weights(self, ckpt_dir: str):
         from ..utils.checkpoint import save_train_state

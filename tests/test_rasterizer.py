@@ -327,3 +327,49 @@ class TestPallasPath:
         np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
         np.testing.assert_allclose(np.asarray(a.xyz), np.asarray(b.xyz), atol=1e-5)
         np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color), atol=1e-5)
+
+
+class TestGoldenRender:
+    def test_box_render_matches_golden(self):
+        """Golden-file regression (SURVEY.md SS4): a fixed mesh/pose render
+        must stay pixel-stable across refactors. Regenerate the fixture
+        with the script header in tests/golden/ only for intentional
+        rasterizer changes."""
+        import os
+
+        from foundationpose_tpu.meshio import make_box
+        from foundationpose_tpu.geometry import so3_exp_map
+
+        golden = np.load(
+            os.path.join(os.path.dirname(__file__), "golden", "box_render.npz")
+        )
+        box = make_box(np.array([0.12, 0.08, 0.2]))
+        rng = np.random.default_rng(7)
+        box.vertex_colors = rng.integers(40, 250, (8, 3)).astype(np.uint8)
+        K = jnp.asarray(
+            np.array([[150.0, 0, 64.0], [0, 150.0, 64.0], [0, 0, 1.0]], np.float32)
+        )
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = np.asarray(
+            so3_exp_map(jnp.asarray([[0.4, -0.3, 0.8]], jnp.float32))
+        )[0]
+        pose[:3, 3] = [0.01, -0.02, 0.5]
+        for method in ("brute", "binned"):
+            out = render_mesh(
+                jnp.asarray(box.vertices.astype(np.float32)),
+                jnp.asarray(box.faces.astype(np.int32)),
+                jnp.asarray(pose[None]), K, out_hw=(128, 128),
+                vertex_color=jnp.asarray(box.vertex_colors.astype(np.float32) / 255),
+                vnormals=jnp.asarray(box.vertex_normals.astype(np.float32)),
+                use_light=True, method=method,
+                **({"tile": 32, "max_faces_per_tile": 12} if method == "binned" else {}),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out.mask[0], np.uint8), golden["mask"], err_msg=method
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.color[0]), golden["color"], atol=2e-3, err_msg=method
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.depth[0]), golden["depth"], atol=1e-4, err_msg=method
+            )
