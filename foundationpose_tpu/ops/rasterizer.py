@@ -25,6 +25,16 @@ TPU, not translated:
 
 Perspective-correct interpolation uses 2D screen barycentrics re-weighted
 by 1/z, equivalent to clip-space w interpolation for pinhole cameras.
+
+Performance envelope (measured, TPU v5e, 252 poses x 160^2 x 5k faces):
+the binned path runs ~150 ms and is bound by the (tiles x pixels x K)
+candidate edge-eval on the VPU. Measured dead ends (kept here so they
+are not retried): removing the min-z second reduction, bf16 one-hot
+matmuls, structure-of-arrays record layouts (all within noise — XLA
+already fuses/normalizes these), and a second 8x8-subtile binning level
+(~174 ms: the per-subtile top_k selection + record fetch outweigh the
+8x eval reduction). Next lever would be a Pallas kernel that performs
+in-VMEM per-subtile candidate compaction without top_k.
 """
 from __future__ import annotations
 
