@@ -27,14 +27,17 @@ Perspective-correct interpolation uses 2D screen barycentrics re-weighted
 by 1/z, equivalent to clip-space w interpolation for pinhole cameras.
 
 Performance envelope (measured, TPU v5e, 252 poses x 160^2 x 5k faces):
-the binned path runs ~150 ms and is bound by the (tiles x pixels x K)
-candidate edge-eval on the VPU. Measured dead ends (kept here so they
-are not retried): removing the min-z second reduction, bf16 one-hot
-matmuls, structure-of-arrays record layouts (all within noise — XLA
-already fuses/normalizes these), and a second 8x8-subtile binning level
-(~174 ms: the per-subtile top_k selection + record fetch outweigh the
-8x eval reduction). Next lever would be a Pallas kernel that performs
-in-VMEM per-subtile candidate compaction without top_k.
+brute 578 ms; binned 145 ms (bound ~60/40 by the XLA top_k+gather
+binning and the (tiles x pixels x K) VPU fine eval); 'pallas' (the
+fused per-pose kernel, ops/pallas_raster2.py) 80 ms with a gather-free
+record prep. Measured dead ends (kept here so they are not retried):
+removing the min-z second reduction, bf16 one-hot matmuls,
+structure-of-arrays record layouts, a second XLA 8x8-subtile binning
+level (~174 ms: per-subtile top_k outweighs the eval reduction), and —
+in the Pallas kernel — per-subtile rank compaction (the f32 one-hot
+routing matmul costs as much as the (64, K) VPU eval it would save)
+and DEFAULT-precision routing (f32 MXU matmuls run at one rate
+regardless of precision flag).
 """
 from __future__ import annotations
 
@@ -47,6 +50,7 @@ import jax.numpy as jnp
 from .. import jax_config  # noqa: F401
 
 _BIG = jnp.float32(1e30)
+_SUBTILE = 8
 
 
 class RenderOutput(NamedTuple):
@@ -54,6 +58,11 @@ class RenderOutput(NamedTuple):
     xyz: jax.Array  # (N, H, W, 3) camera-space position map, 0 at background
     normal: jax.Array | None  # (N, H, W, 3) or None
     mask: jax.Array  # (N, H, W) bool foreground
+    # method='pallas' only: faces dropped per (pose, tile) by the
+    # rounds*K per-tile capacity; None for other methods. Check with
+    # `assert not out.overflow.any()` when forcing a binned method on
+    # a dense mesh.
+    overflow: jax.Array | None = None
 
     @property
     def depth(self) -> jax.Array:
@@ -212,8 +221,8 @@ def _rasterize_binned_interp(
     fetches the winner's packed record via a one-hot batched matmul on
     the MXU — no per-pixel gathers anywhere. Perspective-correct
     barycentrics come from the winner's own edge coefficients.
-    (method='pallas' runs the same stage 2 inside one VMEM-resident
-    Pallas kernel; see ops/pallas_raster.py.)
+    (method='pallas' replaces both stages with the fused per-pose
+    kernel in ops/pallas_raster2.py.)
     """
     Da = tri_attr.shape[-1]
     K = max_faces_per_tile
@@ -312,6 +321,7 @@ def _sample_texture(tex: jax.Array, uv: jax.Array) -> jax.Array:
         "tile",
         "max_faces_per_tile",
         "cull_backfaces",
+        "raster_rounds",
     ),
 )
 def render_mesh(
@@ -337,6 +347,7 @@ def render_mesh(
     tile: int = 32,
     max_faces_per_tile: int = 512,
     cull_backfaces: bool = False,
+    raster_rounds: int = 4,
 ) -> RenderOutput:
     """Render N pose hypotheses of one mesh in a single fused graph.
 
@@ -360,14 +371,19 @@ def render_mesh(
     K = K.astype(jnp.float32)
 
     if method == "auto":
-        # binned wins above ~1.5k faces. Per-tile overflow (more than K
-        # faces overlapping one tile) silently drops the highest-index
-        # candidates, so auto only engages while the face count stays a
-        # comfortable multiple of K (verified exact for 5k-face meshes at
-        # K=256..512 on 160x160 crops); denser meshes fall back to the
-        # exact brute path unless the caller picks binned with a bigger K.
-        if 1536 < F <= 24 * max_faces_per_tile and H % tile == 0 and W % tile == 0:
-            method = "binned"
+        # Above ~1.5k faces the tiled paths win. On TPU that is the
+        # fused Pallas kernel: faster than 'binned' AND robust to dense
+        # tiles (capacity rounds + overflow reporting, where 'binned'
+        # silently drops faces past max_faces_per_tile). Off-TPU the
+        # Pallas path would run interpreted, so auto keeps the XLA
+        # binned path there, with its documented density guard.
+        if 1536 < F and H % tile == 0 and W % tile == 0:
+            if jax.default_backend() == "tpu":
+                method = "pallas"
+            elif F <= 24 * max_faces_per_tile:
+                method = "binned"
+            else:
+                method = "brute"
         else:
             method = "brute"
 
@@ -499,52 +515,161 @@ def render_mesh(
         )
 
     if method == "pallas":
-        # Batched Pallas fine stage: XLA binning per pose, then ONE kernel
-        # launch over the (pose x tile) grid (ops/pallas_raster.py).
-        from .pallas_raster import fine_raster_pallas
+        # Fully-fused Pallas rasterizer: per-pose kernel does chunk->tile
+        # binning (with capacity rounds + overflow reporting) AND the
+        # subtile fine eval in VMEM (ops/pallas_raster2.py). Fastest
+        # when faces are Morton-sorted (mesh_tensors does this); exact
+        # regardless of face order. The record prep is gather-free: the
+        # topology gathers (pos[faces], normals[faces], colors[faces])
+        # happen ONCE outside the pose batch; per-pose work is pure
+        # vectorized math (the per-pose vdata[faces] gather of the
+        # brute/binned paths measured ~40 ms for 252 poses on v5e).
+        from .pallas_raster2 import (
+            active_chunks,
+            pack_records,
+            raster_pose_pallas,
+        )
 
         nty, ntx = H // tile, W // tile
         T = nty * ntx
         Kp = ((max_faces_per_tile + 127) // 128) * 128
 
-        def per_pose_rec(pts_cam_1, xy_1, R_1):
-            z_v = pts_cam_1[:, 2]
-            xy_f = xy_1[faces]
-            z_f = z_v[faces]
-            valid_f = face_validity(pts_cam_1, z_f)
-            vdata = pack_vdata(pts_cam_1, xy_1, R_1)
-            return _bin_face_records(
-                xy_f, z_f, valid_f, vdata[faces], H, W, tile, Kp
+        pos_f = pos[faces]  # (F, 3, 3) — static topology gathers
+        vn_f = vnormals[faces] if (use_light or get_normal) else None
+        if uv is not None:
+            col_f = uv[faces]  # (F, 3, 2)
+        elif vertex_color is not None:
+            col_f = vertex_color[faces]  # (F, 3, 3)
+        else:
+            col_f = None
+        Dc = 0 if col_f is None else col_f.shape[-1]
+        t_all = poses[:, :3, 3]
+
+        def per_pose_rec(R_1, t_1, ctf_1):
+            pts_f = pos_f @ R_1.T + t_1  # (F, 3, 3)
+            z_f = jnp.maximum(pts_f[..., 2], 1e-8)
+            u = pts_f[..., 0] * K[0, 0] / z_f + K[0, 2]
+            v = pts_f[..., 1] * K[1, 1] / z_f + K[1, 2]
+            if crop_tf is not None:
+                u = ctf_1[0, 0] * u + ctf_1[0, 2]
+                v = ctf_1[1, 1] * v + ctf_1[1, 2]
+            xy_f = jnp.stack([u, v], axis=-1)  # (F, 3, 2)
+            valid_f = face_valid_static & jnp.all(
+                pts_f[..., 2] > 1e-4, axis=-1
             )
+            if cull_backfaces:
+                p0 = pts_f[:, 0]
+                fn = jnp.cross(pts_f[:, 1] - p0, pts_f[:, 2] - p0)
+                valid_f = valid_f & (jnp.sum(fn * p0, axis=-1) < 0)
+            attr_cols = []
+            if col_f is not None:
+                attr_cols.append(col_f)
+            if use_light or get_normal:
+                vn_cam = vn_f @ R_1.T  # (F, 3, 3)
+                if use_light:
+                    vn_n = vn_cam / jnp.maximum(
+                        jnp.linalg.norm(vn_cam, axis=-1, keepdims=True),
+                        1e-12,
+                    )
+                    diff = jnp.clip(
+                        jnp.sum(vn_n * (-light_dir), axis=-1), 0.0, 1.0
+                    )[..., None]
+                    attr_cols.append(diff)
+                if get_normal:
+                    attr_cols.append(vn_cam)
+            tri_attr = jnp.concatenate(attr_cols, axis=-1)  # (F, 3, Da)
+            coeffs, zinv = _face_coeffs(xy_f, pts_f[..., 2], valid_f)
+            rec = pack_records(
+                xy_f, pts_f[..., 2], valid_f, tri_attr, coeffs, zinv
+            )
+            act, acnt = active_chunks(rec, H, W, tile)
+            return rec, act, acnt
 
         n_blocks = Np // pose_block
-        rec_all = jax.lax.map(
-            lambda t: jax.vmap(per_pose_rec)(*t),
+        ctf_all = (
+            crop_tf.astype(jnp.float32)
+            if crop_tf is not None
+            else jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (Np, 3, 3))
+        )
+        rec_all, act_all, acnt_all = jax.lax.map(
+            lambda a: jax.vmap(per_pose_rec)(*a),
             (
-                pts_cam_all.reshape(n_blocks, pose_block, -1, 3),
-                xy_all.reshape(n_blocks, pose_block, -1, 2),
                 R_all.reshape(n_blocks, pose_block, 3, 3),
+                t_all.reshape(n_blocks, pose_block, 1, 3),
+                ctf_all.reshape(n_blocks, pose_block, 3, 3),
             ),
-        )  # (blocks, B, T, K, D)
-        D = rec_all.shape[-1]
-        Da = (D - 13) // 3
-        rec_all = rec_all.reshape(Np * T, Kp, D).transpose(0, 2, 1)
+        )
+        D2 = rec_all.shape[-2]
+        Da = (D2 - 17) // 3
+        rec_all = rec_all.reshape(Np, D2, -1)
+        act_all = act_all.reshape(Np, T, -1)
+        acnt_all = acnt_all.reshape(Np, T)
         interpret = jax.default_backend() != "tpu"
-        out = fine_raster_pallas(
-            rec_all, tile, ntx, nty, kc=128, interpret=interpret
-        )  # (Np*T, P, Da+1)
+        out, ovf = raster_pose_pallas(
+            rec_all, act_all, acnt_all, tile, ntx, nty, K=Kp,
+            rounds=raster_rounds, interpret=interpret,
+        )  # out (Np, T, Da+2, tile^2) subtile-major
 
-        out = out.reshape(Np, nty, ntx, tile, tile, Da + 1)
-        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(Np, H * W, Da + 1)
-        interp_all = out[..., :Da]
-        m_all = out[..., Da] > 0.5
+        ns = tile // _SUBTILE
+        out = out.reshape(Np, nty, ntx, Da + 2, ns, ns, _SUBTILE, _SUBTILE)
+        out = out.transpose(0, 1, 4, 6, 2, 5, 7, 3).reshape(
+            Np, H * W, Da + 2
+        )
+        attrs = out[..., :Da]
+        z_pix = out[..., Da]
+        m_all = out[..., Da + 1] > 0.5
 
-        color, xyz, normal, mask = jax.vmap(finalize)(interp_all, m_all)
+        # Camera-space XYZ reconstructed as z * ray (records carry no
+        # position attrs). ray = Kinv @ crop_inv @ [px, py, 1].
+        jj = jnp.arange(W, dtype=jnp.float32)
+        ii = jnp.arange(H, dtype=jnp.float32)
+        pu, pv = jnp.meshgrid(jj, ii, indexing="xy")
+        pu = pu.reshape(-1)
+        pv = pv.reshape(-1)
+        if crop_tf is not None:
+            uf = (pu[None] - ctf_all[:, 0:1, 2]) / ctf_all[:, 0:1, 0]
+            vf = (pv[None] - ctf_all[:, 1:2, 2]) / ctf_all[:, 1:2, 1]
+        else:
+            uf = jnp.broadcast_to(pu[None], (Np, H * W))
+            vf = jnp.broadcast_to(pv[None], (Np, H * W))
+        ray_x = (uf - K[0, 2]) / K[0, 0]
+        ray_y = (vf - K[1, 2]) / K[1, 1]
+        xyz = jnp.stack(
+            [z_pix * ray_x, z_pix * ray_y, z_pix], axis=-1
+        )
+        xyz = jnp.where(m_all[..., None], xyz, 0.0)
+
+        c_lo = 0
+        if col_f is not None:
+            if uv is not None:
+                color = jax.vmap(
+                    lambda a: _sample_texture(tex, a[:, :2])
+                )(attrs)
+            else:
+                color = attrs[..., :3]
+            c_lo = Dc
+        else:
+            color = jnp.full((Np, H * W, 3), 0.5, dtype=jnp.float32)
+        if use_light:
+            diff = attrs[..., c_lo : c_lo + 1]
+            color = color * w_ambient + diff * color * w_diffuse
+            c_lo += 1
+        color = jnp.clip(color, 0.0, 1.0)
+        color = jnp.where(m_all[..., None], color, 0.0)
+        normal = None
+        if get_normal:
+            n_pix = attrs[..., c_lo : c_lo + 3]
+            n_pix = n_pix / jnp.maximum(
+                jnp.linalg.norm(n_pix, axis=-1, keepdims=True), 1e-12
+            )
+            normal = jnp.where(m_all[..., None], n_pix, 0.0)
+
         return RenderOutput(
-            color=color[:N],
-            xyz=xyz[:N],
-            normal=normal[:N] if get_normal else None,
-            mask=mask[:N],
+            color=color.reshape(Np, H, W, 3)[:N],
+            xyz=xyz.reshape(Np, H, W, 3)[:N],
+            normal=(normal.reshape(Np, H, W, 3)[:N] if get_normal else None),
+            mask=m_all.reshape(Np, H, W)[:N],
+            overflow=ovf[:N],
         )
 
     def render_block(args):

@@ -15,11 +15,14 @@ from ..models.networks import RefineNetCfg, ScoreNetCfg
 class RasterCfg:
     """Rasterizer strategy knobs (see ops/rasterizer.py)."""
 
-    method: str = "auto"  # auto | brute | binned
+    method: str = "auto"  # auto | brute | binned | pallas
     tile: int = 32
     max_faces_per_tile: int = 512  # raise for dense meshes (overflow drops faces)
     cull_backfaces: bool = False  # exact speedup for closed, consistently wound meshes
     pose_block: int = 16
+    # pallas only: per-tile capacity = rounds * max_faces_per_tile
+    # (overflow beyond it is counted in RenderOutput.overflow)
+    rounds: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

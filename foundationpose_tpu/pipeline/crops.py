@@ -49,6 +49,7 @@ def make_crop_inputs(
             max_faces_per_tile=raster.max_faces_per_tile,
             cull_backfaces=raster.cull_backfaces,
             pose_block=raster.pose_block,
+            raster_rounds=raster.rounds,
         )
     rend = render_mesh(
         mesh.pos,

@@ -325,8 +325,11 @@ class TestPallasPath:
             method="pallas", **args,
         )
         np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
-        np.testing.assert_allclose(np.asarray(a.xyz), np.asarray(b.xyz), atol=1e-5)
-        np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color), atol=1e-5)
+        # pallas reconstructs xyz as z*ray instead of interpolating
+        # vertex positions — identical on the triangle plane up to fp
+        # (~4e-5 m at 0.9 m depth).
+        np.testing.assert_allclose(np.asarray(a.xyz), np.asarray(b.xyz), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color), atol=1e-4)
 
 
 class TestGoldenRender:
@@ -373,3 +376,48 @@ class TestGoldenRender:
             np.testing.assert_allclose(
                 np.asarray(out.depth[0]), golden["depth"], atol=1e-4, err_msg=method
             )
+
+
+class TestPallasCapacityRounds:
+    def test_dense_tile_exact_and_overflow_reported(self):
+        """A tiny on-screen object packs thousands of faces into one
+        tile. The pallas path must stay mask-exact vs brute via its
+        capacity rounds (VERDICT r1 item 9: the XLA binned path
+        silently drops faces here), and must REPORT overflow once the
+        rounds*K capacity is truly exceeded."""
+        from foundationpose_tpu.geometry.icosphere import icosphere
+        from foundationpose_tpu.meshio import compute_vertex_normals
+
+        verts, faces = icosphere(3, radius=0.1)  # 1280 faces
+        vn = compute_vertex_normals(verts, faces)
+        colors = (
+            np.random.default_rng(0)
+            .integers(30, 255, (len(verts), 3))
+            .astype(np.float32)
+            / 255
+        )
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = 3.0  # far away -> ~10 px object, all in one tile
+        args = dict(
+            out_hw=(64, 64),
+            vertex_color=jnp.asarray(colors),
+            vnormals=jnp.asarray(vn.astype(np.float32)),
+            use_light=True,
+            tile=32,
+            max_faces_per_tile=128,
+        )
+        call = lambda method, **kw: render_mesh(
+            jnp.asarray(verts.astype(np.float32)),
+            jnp.asarray(faces.astype(np.int32)),
+            jnp.asarray(pose[None]), jnp.asarray(K),
+            method=method, **args, **kw,
+        )
+        a = call("brute")
+        b = call("pallas", raster_rounds=8)  # 8*128 >= visible faces
+        np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+        assert int(np.asarray(b.overflow).sum()) == 0
+
+        c = call("pallas", raster_rounds=1)  # 128 slots << faces
+        assert int(np.asarray(c.overflow).max()) > 0, (
+            "expected per-tile overflow to be reported"
+        )
