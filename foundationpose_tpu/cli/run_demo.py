@@ -104,21 +104,8 @@ def main(argv=None):
     reader = YcbineoatReader(video_dir=args.test_scene_dir, shorter_side=None, zfar=np.inf)
     bbox = mesh.bounds() - mesh.bounds().mean(axis=0, keepdims=True)
 
-    for i in range(len(reader.color_files)):
-        color = reader.get_color(i)
-        depth = reader.get_depth(i)
-        if i == 0:
-            mask = reader.get_mask(0).astype(bool)
-            pose = est.register(
-                K=reader.K, rgb=color, depth=depth, ob_mask=mask,
-                iteration=args.est_refine_iter,
-            )
-        else:
-            pose = est.track_one(
-                rgb=color, depth=depth, K=reader.K, iteration=args.track_refine_iter
-            )
+    def finish_frame(i, pose, color):
         np.savetxt(f"{args.debug_dir}/ob_in_cam/{reader.id_strs[i]}.txt", pose.reshape(4, 4))
-
         if args.debug >= 1:
             center_pose = pose @ np.linalg.inv(est.get_tf_to_centered_mesh())
             vis = draw_posed_3d_box(reader.K, img=color.copy(), ob_in_cam=center_pose, bbox=bbox)
@@ -130,6 +117,37 @@ def main(argv=None):
 
             imageio.imwrite(f"{args.debug_dir}/track_vis/{reader.id_strs[i]}.png", vis)
         logging.info("frame %s done", reader.id_strs[i])
+
+    # Tracking is pipelined: frame i+1..i+k dispatch before frame i's
+    # pose is fetched (track_one_async), overlapping host<->device
+    # latency with device compute. Poses are identical to blocking
+    # track_one calls; only fetch timing changes.
+    from collections import deque
+
+    pending: deque = deque()  # (frame_idx, TrackResult, color)
+    for i in range(len(reader.color_files)):
+        color = reader.get_color(i)
+        depth = reader.get_depth(i)
+        if i == 0:
+            mask = reader.get_mask(0).astype(bool)
+            pose = est.register(
+                K=reader.K, rgb=color, depth=depth, ob_mask=mask,
+                iteration=args.est_refine_iter,
+            )
+            finish_frame(0, pose, color)
+        else:
+            pending.append(
+                (i, est.track_one_async(
+                    rgb=color, depth=depth, K=reader.K,
+                    iteration=args.track_refine_iter,
+                ), color)
+            )
+            if len(pending) > 3:
+                j, fut, c = pending.popleft()
+                finish_frame(j, fut.result(), c)
+    while pending:
+        j, fut, c = pending.popleft()
+        finish_frame(j, fut.result(), c)
 
 
 if __name__ == "__main__":

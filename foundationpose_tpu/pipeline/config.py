@@ -74,3 +74,15 @@ class EstimatorCfg:
     # gathers leave the hot loop). False = exact per-pixel texturing.
     vertex_color_render: bool = True
     zfar: float = float("inf")
+    # Tracking ROI streaming: crop each tracking frame on the host to a
+    # static-size square window around the last fetched pose before
+    # upload, shifting K's principal point by the window offset (an
+    # exact reparameterization — all pipeline geometry flows through K).
+    # Cuts per-frame host->device transfer several-fold, which dominates
+    # end-to-end tracking latency when the chip sits behind a network
+    # tunnel. The window size is the projected crop extent times
+    # track_roi_margin (slack for inter-frame motion + the lag of the
+    # async fetch), rounded up to a multiple of 64 so jit buckets stay
+    # coarse. track_roi=False streams full frames.
+    track_roi: bool = True
+    track_roi_margin: float = 1.8

@@ -38,6 +38,36 @@ from .mesh_tensors import make_mesh_tensors
 logger = logging.getLogger(__name__)
 
 
+class TrackResult:
+    """Handle to an in-flight tracking dispatch.
+
+    `track_one_async` returns immediately after enqueueing the frame's
+    compiled graph; the pose stays on device (it is also the next
+    frame's `pose_last` input, so the frame-to-frame dependency never
+    leaves the chip) while its host copy streams back in the background
+    (`copy_to_host_async`). `result()` blocks until the value is on host
+    and returns the (4, 4) float64 object-in-camera pose with the
+    centered-mesh transform applied — identical to what the blocking
+    `track_one` returns.
+    """
+
+    __slots__ = ("_pose_dev", "_tf", "_on_fetch", "_cached")
+
+    def __init__(self, pose_dev: jax.Array, tf: np.ndarray, on_fetch=None):
+        self._pose_dev = pose_dev
+        self._tf = tf
+        self._on_fetch = on_fetch
+        self._cached = None
+
+    def result(self) -> np.ndarray:
+        if self._cached is None:
+            raw = np.asarray(self._pose_dev, dtype=np.float64).reshape(4, 4)
+            if self._on_fetch is not None:
+                self._on_fetch(raw)
+            self._cached = raw @ self._tf
+        return self._cached
+
+
 def _rotation_about_z(angle: float) -> np.ndarray:
     c, s = np.cos(angle), np.sin(angle)
     out = np.eye(4)
@@ -70,6 +100,11 @@ class FoundationPose:
         self.gt_pose = None
         self.pose_last: jax.Array | None = None
         self.K_last = None
+        # Host-side hint of the latest fetched raw pose (centered-mesh
+        # frame); drives the tracking ROI window. Updated by register()
+        # and by every TrackResult fetch — it may lag pose_last by the
+        # async pipeline depth, which track_roi_margin absorbs.
+        self._pose_hint: np.ndarray | None = None
         self.device_mesh = None
         if n_devices is not None and n_devices > 1:
             from ..parallel.sharding import make_device_mesh
@@ -161,6 +196,9 @@ class FoundationPose:
                 len(render_mesh_src.faces),
             )
         self.mesh_tensors = make_mesh_tensors(render_mesh_src, self.cfg.max_tex_size)
+        # Device-resident scalar: avoids a per-frame small-array upload
+        # (~1 ms each through a tunneled chip) on the tracking hot path.
+        self._diam_dev = jnp.float32(self.diameter)
 
         if symmetry_tfs is None:
             self.symmetry_tfs = np.eye(4)[None]
@@ -253,14 +291,12 @@ class FoundationPose:
         self.scores = scores
         self.pose_last = refined[0]
         self.best_id = int(order[0])
+        self._pose_hint = np.asarray(self.pose_last, dtype=np.float64)
         if self.debug >= 2 and self.debug_dir:
             from ..utils.debug_vis import dump_register_debug
 
             dump_register_debug(self, self.debug_dir, K, rgb, depth)
-        best_pose = (
-            np.asarray(self.pose_last, dtype=np.float64)
-            @ self.get_tf_to_centered_mesh()
-        )
+        best_pose = self._pose_hint @ self.get_tf_to_centered_mesh()
         return best_pose
 
     def compute_add_err_to_gt_pose(self, poses) -> np.ndarray:
@@ -300,22 +336,83 @@ class FoundationPose:
 
     def track_one(self, rgb, depth, K, iteration=2, extra=None) -> np.ndarray:
         """Per-frame tracking: refine-only from pose_last (estimater.py:250-268)."""
+        return self.track_one_async(rgb, depth, K, iteration=iteration).result()
+
+    def _track_roi_window(self, K: np.ndarray, H: int, W: int):
+        """Static-size square window around the last fetched pose.
+
+        Returns (x0, y0, size) or None for full-frame. Exactness: the
+        pipeline's geometry is parameterized entirely by K, so slicing
+        the images and shifting K's principal point is a change of
+        viewport, not of the computation — provided the refiner's crop
+        window stays inside the slice, which the margin guarantees for
+        inter-frame motion up to (margin - 1) crop half-extents.
+        """
+        if not self.cfg.track_roi or self._pose_hint is None:
+            return None
+        t = self._pose_hint[:3, 3]
+        z = float(t[2])
+        if z <= 1e-6:
+            return None
+        f = float(max(K[0, 0], K[1, 1]))
+        # Projected crop extent (geometry/projection.py crop window) ×
+        # safety margin + stencil-filter halo.
+        crop_px = f * (self.diameter * self.cfg.refiner.crop_ratio) / z
+        size = int(np.ceil((crop_px * self.cfg.track_roi_margin + 16) / 64) * 64)
+        if size >= min(H, W):
+            return None
+        u = float(K[0, 0] * t[0] / z + K[0, 2])
+        v = float(K[1, 1] * t[1] / z + K[1, 2])
+        x0 = int(np.clip(round(u - size / 2), 0, W - size))
+        y0 = int(np.clip(round(v - size / 2), 0, H - size))
+        return x0, y0, size
+
+    def track_one_async(self, rgb, depth, K, iteration=2) -> TrackResult:
+        """Non-blocking tracking: enqueue this frame's compiled graph and
+        return a :class:`TrackResult` whose ``result()`` fetches the pose.
+
+        The frame-to-frame dependency (``pose_last``) stays on device, so
+        callers can dispatch frame N+1 before fetching frame N's pose and
+        overlap host<->device latency with compute. With track_roi on,
+        only a window around the object ships per frame, so throughput is
+        bounded by compute + window bytes rather than full-frame
+        transfers. Poses match sequential ``track_one`` calls; only fetch
+        timing changes.
+        """
         from .graph import track_graph
 
         if self.pose_last is None:
             raise RuntimeError("Please init pose by register() first")
+        rgb = np.asarray(rgb)
+        depth = np.asarray(depth)
+        K = np.asarray(K, dtype=np.float32)
+        H, W = depth.shape
+        roi = self._track_roi_window(K, H, W)
+        if roi is not None:
+            x0, y0, size = roi
+            rgb = rgb[y0 : y0 + size, x0 : x0 + size]
+            depth = depth[y0 : y0 + size, x0 : x0 + size]
+            K = K.copy()
+            K[0, 2] -= x0
+            K[1, 2] -= y0
         pose = track_graph(
             self.refiner_params,
             self.cfg,
             self.mesh_tensors,
             self.pose_last,
-            jnp.asarray(K, dtype=jnp.float32),
+            jnp.asarray(K),
             jnp.asarray(rgb, dtype=jnp.uint8),
             jnp.asarray(depth, dtype=jnp.float32),
-            jnp.float32(self.diameter),
+            self._diam_dev,
             iterations=int(iteration) if self.has_refiner else 0,
         )
         self.pose_last = pose
-        return (
-            np.asarray(pose, dtype=np.float64) @ self.get_tf_to_centered_mesh()
-        ).reshape(4, 4)
+        try:
+            pose.copy_to_host_async()
+        except AttributeError:  # tracers / sharded arrays without the method
+            pass
+
+        def on_fetch(raw, _self=self):
+            _self._pose_hint = raw
+
+        return TrackResult(pose, self.get_tf_to_centered_mesh(), on_fetch)

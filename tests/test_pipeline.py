@@ -161,6 +161,76 @@ class TestTrack:
         with pytest.raises(RuntimeError):
             est2.track_one(np.zeros((H, W, 3), np.uint8), np.zeros((H, W), np.float32), K)
 
+    def test_track_roi_matches_full_frame(self, est):
+        """ROI streaming is an exact reparameterization: slicing the frame
+        around the object and shifting K's principal point must yield the
+        same pose as the full-frame path."""
+        import dataclasses
+
+        gt = np.eye(4)
+        gt[:3, 3] = [0.04, -0.03, 1.25]  # far enough that the ROI < frame
+        mesh = colored_box()
+        rgb, depth, mask = synth_frame(mesh, gt)
+        cfg_full = dataclasses.replace(tiny_cfg(), track_roi=False)
+        cfg_roi = dataclasses.replace(tiny_cfg(), track_roi=True)
+        # zeroed heads: identity refinement keeps the pose (and thus the
+        # ROI window) stable; random weights would walk the pose away
+        params = zero_refiner_heads(
+            init_refine_net(jax.random.PRNGKey(7), cfg_full.refiner.net)
+        )
+        poses = {}
+        for name, cfg in (("full", cfg_full), ("roi", cfg_roi)):
+            e = FoundationPose(mesh=mesh, cfg=cfg, refiner_params=params)
+            e.register(K, rgb, depth, mask, iteration=1)
+            p = None
+            for _ in range(3):
+                p = e.track_one(rgb, depth, K, iteration=1)
+            poses[name] = p
+            if name == "roi":
+                # the ROI must actually have been used (frame big enough)
+                assert e._track_roi_window(K, H, W) is not None
+        np.testing.assert_allclose(poses["roi"], poses["full"], atol=1e-5)
+
+    def test_track_async_pipelined_matches_sequential(self, est):
+        """Dispatching k frames ahead before fetching (track_one_async)
+        returns the same poses as blocking track_one calls."""
+        from collections import deque
+
+        gt = np.eye(4)
+        gt[:3, 3] = [0.0, 0.01, 0.9]
+        mesh = colored_box()
+        frames = []
+        for dx in (0.0, 0.002, 0.004, 0.006, 0.008):
+            g = gt.copy()
+            g[0, 3] += dx
+            frames.append(synth_frame(mesh, g))
+        # zeroed heads: deterministic identity refinement (random weights
+        # would wander the pose and with it the lag-dependent ROI window)
+        params = zero_refiner_heads(
+            init_refine_net(jax.random.PRNGKey(9), tiny_cfg().refiner.net)
+        )
+
+        def fresh():
+            e = FoundationPose(mesh=mesh, cfg=tiny_cfg(), refiner_params=params)
+            e.register(K, frames[0][0], frames[0][1], frames[0][2], iteration=1)
+            return e
+
+        e1 = fresh()
+        seq = [e1.track_one(r, d, K, iteration=1) for r, d, _ in frames]
+
+        e2 = fresh()
+        futs: deque = deque()
+        got = []
+        for r, d, _ in frames:
+            futs.append(e2.track_one_async(r, d, K, iteration=1))
+            if len(futs) > 2:
+                got.append(futs.popleft().result())
+        while futs:
+            got.append(futs.popleft().result())
+        assert len(got) == len(seq)
+        for a, b in zip(got, seq):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
 
 class TestRefinerStep:
     def test_refine_moves_toward_target_with_oracle_delta(self, est):
