@@ -17,56 +17,30 @@ import numpy as np
 
 
 def build_estimator(mesh, args):
-    from foundationpose_tpu.models.convert import (
-        convert_refine_net,
-        convert_score_net,
-        detect_use_bn,
-        load_torch_state_dict,
-    )
-    from foundationpose_tpu.models.networks import RefineNetCfg, ScoreNetCfg
-    from foundationpose_tpu.pipeline import (
-        EstimatorCfg,
-        FoundationPose,
-        RefinerCfg,
-        ScorerCfg,
-    )
+    """Build a FoundationPose, ingesting each checkpoint's shipped
+    reference config (embedded npz meta or sidecar config.yml) so the
+    pipeline always runs under the settings the weights were trained
+    for (predict_pose_refine.py:102-131, predict_score.py:126-143)."""
+    import dataclasses
 
-    from foundationpose_tpu.utils.checkpoint import load_params
+    from foundationpose_tpu.models.loading import load_estimator_checkpoint
+    from foundationpose_tpu.pipeline import EstimatorCfg, FoundationPose
 
-    def _has_bn(params) -> bool:
-        # converted trees keep 'bn' subdicts in conv_bn blocks only
-        # when the checkpoint was trained with BatchNorm
-        trunk = params.get("encodeA") or params.get("encoderA") or {}
-        return "bn" in trunk.get("0", {})
-
+    cfg = EstimatorCfg()
     refiner_params = scorer_params = None
-    refiner_cfg = RefinerCfg()
-    scorer_mode = "depth"
-    scorer_cfg_net = ScoreNetCfg()
     if args.refiner_ckpt:
-        if args.refiner_ckpt.endswith(".npz"):  # from cli.convert_weights
-            refiner_params = load_params(args.refiner_ckpt)
-            use_bn = _has_bn(refiner_params)
-        else:
-            sd = load_torch_state_dict(args.refiner_ckpt)
-            use_bn = detect_use_bn(sd)
-            refiner_params = convert_refine_net(sd, use_bn)
-        refiner_cfg = RefinerCfg(net=RefineNetCfg(use_bn=use_bn))
+        refiner_params, rcfg, zfar = load_estimator_checkpoint(
+            args.refiner_ckpt, "refiner", base=cfg.refiner
+        )
+        cfg = dataclasses.replace(cfg, refiner=rcfg)
+        if zfar is not None:
+            cfg = dataclasses.replace(cfg, zfar=zfar)
     if args.scorer_ckpt:
-        if args.scorer_ckpt.endswith(".npz"):
-            scorer_params = load_params(args.scorer_ckpt)
-            use_bn = _has_bn(scorer_params)
-        else:
-            sd = load_torch_state_dict(args.scorer_ckpt)
-            use_bn = detect_use_bn(sd)
-            scorer_params = convert_score_net(sd, use_bn)
-        scorer_cfg_net = ScoreNetCfg(use_bn=use_bn)
-        scorer_mode = "network"
+        scorer_params, scfg, _ = load_estimator_checkpoint(
+            args.scorer_ckpt, "scorer", base=cfg.scorer
+        )
+        cfg = dataclasses.replace(cfg, scorer=scfg)
 
-    cfg = EstimatorCfg(
-        refiner=refiner_cfg,
-        scorer=ScorerCfg(net=scorer_cfg_net, mode=scorer_mode),
-    )
     return FoundationPose(
         mesh=mesh,
         cfg=cfg,

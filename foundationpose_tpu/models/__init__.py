@@ -13,3 +13,11 @@ from .convert import (
     convert_score_net,
     detect_use_bn,
 )
+from .loading import load_estimator_checkpoint
+from .reference_config import (
+    apply_reference_defaults,
+    load_reference_yaml,
+    refiner_cfg_from_reference,
+    scorer_cfg_from_reference,
+    zfar_from_reference,
+)

@@ -22,13 +22,26 @@ def _lin_w(w):
 
 
 def load_torch_state_dict(path: str) -> dict:
-    """Load a .pth checkpoint to a {name: np.ndarray} dict (CPU torch)."""
+    """Load a .pth checkpoint to a {name: np.ndarray} dict (CPU torch).
+
+    Tolerates the wrappers seen in the wild: a {'model': ...} or
+    {'state_dict': ...} envelope (predict_pose_refine.py:139-140) and
+    DataParallel/DistributedDataParallel 'module.' key prefixes."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    if "model" in ckpt:
-        ckpt = ckpt["model"]
-    return {k: v.detach().cpu().numpy() for k, v in ckpt.items()}
+    for wrapper in ("model", "state_dict"):
+        if wrapper in ckpt and isinstance(ckpt[wrapper], dict):
+            ckpt = ckpt[wrapper]
+            break
+    out = {}
+    for k, v in ckpt.items():
+        if k.startswith("module."):
+            k = k[len("module.") :]
+        if not hasattr(v, "detach"):  # skip non-tensor metadata entries
+            continue
+        out[k] = v.detach().cpu().numpy()
+    return out
 
 
 def _convert_conv_bn(sd, prefix, use_bn):

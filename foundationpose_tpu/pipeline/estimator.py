@@ -320,19 +320,31 @@ class FoundationPose:
             save_params(scorer_path, self.scorer_params)
 
     def load_weights(self, refiner_path: str | None = None, scorer_path: str | None = None):
-        from ..utils.checkpoint import load_params
+        """Load converted (.npz) or raw torch (.pth) checkpoints.
+
+        The checkpoint's shipped reference config (embedded by
+        cli.convert_weights, or the sidecar config.yml next to a .pth)
+        is ingested so the pipeline config always matches what the
+        weights were trained for (predict_pose_refine.py:102-131)."""
+        import dataclasses as _dc
+
+        from ..models.loading import load_estimator_checkpoint
 
         if refiner_path:
-            self.refiner_params = load_params(refiner_path)
+            params, rcfg, zfar = load_estimator_checkpoint(
+                refiner_path, "refiner", base=self.cfg.refiner
+            )
+            self.refiner_params = params
+            self.cfg = _dc.replace(self.cfg, refiner=rcfg)
+            if zfar is not None:
+                self.cfg = _dc.replace(self.cfg, zfar=zfar)
             self.has_refiner = True
         if scorer_path:
-            self.scorer_params = load_params(scorer_path)
-            import dataclasses as _dc
-
-            if self.cfg.scorer.mode == "depth":
-                self.cfg = _dc.replace(
-                    self.cfg, scorer=_dc.replace(self.cfg.scorer, mode="network")
-                )
+            params, scfg, _ = load_estimator_checkpoint(
+                scorer_path, "scorer", base=self.cfg.scorer
+            )
+            self.scorer_params = params
+            self.cfg = _dc.replace(self.cfg, scorer=scfg)  # sets mode=network
 
     def track_one(self, rgb, depth, K, iteration=2, extra=None) -> np.ndarray:
         """Per-frame tracking: refine-only from pose_last (estimater.py:250-268)."""

@@ -51,16 +51,40 @@ def _unflatten(flat: dict):
     return listify(root)
 
 
-def save_params(path: str, params) -> None:
-    """Save a (possibly nested dict/list) param pytree to one .npz."""
+_META_KEY = "__meta_json__"
+
+
+def save_params(path: str, params, meta: dict | None = None) -> None:
+    """Save a (possibly nested dict/list) param pytree to one .npz.
+
+    `meta` (JSON-serializable) rides along under a reserved key — used
+    by cli.convert_weights to embed the checkpoint's reference config so
+    weights can never be loaded under the wrong pipeline config."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez_compressed(path, **_flatten(params))
+    flat = _flatten(params)
+    if meta is not None:
+        import json
+
+        flat[_META_KEY] = np.frombuffer(
+            json.dumps(meta).encode("utf-8"), dtype=np.uint8
+        )
+    np.savez_compressed(path, **flat)
 
 
 def load_params(path: str):
+    return load_params_meta(path)[0]
+
+
+def load_params_meta(path: str):
+    """Returns (params, meta_dict_or_None)."""
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files}
-    return _unflatten(flat)
+    meta = None
+    if _META_KEY in flat:
+        import json
+
+        meta = json.loads(flat.pop(_META_KEY).tobytes().decode("utf-8"))
+    return _unflatten(flat), meta
 
 
 def save_train_state(ckpt_dir: str, step: int, state) -> None:
