@@ -421,9 +421,7 @@ def render_mesh(
     else:
         face_valid_static = jnp.ones((F,), bool)
 
-    if use_light:
-        get_normal = True
-    if get_normal and vnormals is None:
+    if (use_light or get_normal) and vnormals is None:
         raise ValueError("vnormals required when lighting/normals requested")
     if light_dir is None:
         light_dir = jnp.array([0.0, 0.0, 1.0], dtype=jnp.float32)
@@ -441,18 +439,22 @@ def render_mesh(
     R_all = poses[:, :3, :3]
 
     # Column layout of the packed per-vertex attribute matrix, shared by
-    # every rasterization path: [u, v | x, y, z cam | color/uv | diffuse |
-    # normal]. Static offsets:
-    c_col = n_col = None
+    # every rasterization path: [u, v | x, y, z cam | color/uv | diffuse
+    # (use_light) | normal (get_normal)]. Lighting no longer implies
+    # interpolated normals: the Lambertian term needs only the scalar
+    # per-vertex diffuse — 3 fewer attribute rows through binning and
+    # interpolation on the hot hypothesis-render path, which never reads
+    # RenderOutput.normal. Static offsets:
+    c_col = n_col = d_col = None
     _off = 5
     if uv is not None:
         c_col, _off = _off, _off + 2
     elif vertex_color is not None:
         c_col, _off = _off, _off + 3
     if use_light:
-        pass
+        d_col, _off = _off, _off + 1
     if get_normal:
-        n_col = _off + (1 if use_light else 0)
+        n_col = _off
 
     def pack_vdata(pts_cam_1, xy_1, R_1):
         """(V, D) packed per-vertex attributes for one pose."""
@@ -461,7 +463,7 @@ def render_mesh(
             cols.append(uv)
         elif vertex_color is not None:
             cols.append(vertex_color)
-        if get_normal:
+        if use_light or get_normal:
             vn_cam = (R_1 @ vnormals.T).T  # (V, 3)
             if use_light:
                 vn_n = vn_cam / jnp.maximum(
@@ -471,7 +473,8 @@ def render_mesh(
                     jnp.sum(vn_n * (-light_dir)[None], axis=-1), 0.0, 1.0
                 )[:, None]
                 cols.append(diff_v)
-            cols.append(vn_cam)
+            if get_normal:
+                cols.append(vn_cam)
         return jnp.concatenate(cols, axis=-1)
 
     def face_validity(pts_cam_1, z_f):
@@ -494,11 +497,11 @@ def render_mesh(
             color = interp[:, c_col : c_col + 3]
         else:
             color = jnp.full((H * W, 3), 0.5, dtype=jnp.float32)
+        if use_light:
+            diff = interp[:, d_col : d_col + 1]
+            color = color * w_ambient + diff * color * w_diffuse
         normal_out = None
         if get_normal:
-            if use_light:
-                diff = interp[:, n_col - 1 : n_col]
-                color = color * w_ambient + diff * color * w_diffuse
             n_pix = interp[:, n_col : n_col + 3]
             n_pix = n_pix / jnp.maximum(
                 jnp.linalg.norm(n_pix, axis=-1, keepdims=True), 1e-12

@@ -290,6 +290,14 @@ class FoundationPose:
         self.poses = refined
         self.scores = scores
         self.pose_last = refined[0]
+        # Overlap the two result fetches (order + best pose): each
+        # blocking fetch pays a full host<->chip round trip on a
+        # tunneled TPU, so start both transfers before reading either.
+        try:
+            order.copy_to_host_async()
+            self.pose_last.copy_to_host_async()
+        except AttributeError:
+            pass
         self.best_id = int(order[0])
         self._pose_hint = np.asarray(self.pose_last, dtype=np.float64)
         if self.debug >= 2 and self.debug_dir:

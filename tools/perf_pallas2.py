@@ -74,9 +74,8 @@ def main():
         o = f()
         jax.block_until_ready(o)
         outs[method] = o
-        fsum = jax.jit(lambda m=method: (lambda o: o.color.sum() + o.xyz.sum()
-                                         + o.normal.sum())(render_mesh(
-            mt.pos, mt.faces, posesj, Kj, method=m, **common)))
+        fsum = jax.jit(lambda m=method: (lambda o: o.color.sum() + o.xyz.sum())(
+            render_mesh(mt.pos, mt.faces, posesj, Kj, method=m, **common)))
         print(f"render {method:7s}: {timeit(fsum):7.1f} ms")
 
     for m in ("binned", "pallas"):

@@ -33,6 +33,7 @@ def main():
         vertex_color=jnp.asarray(colors),
         vnormals=jnp.asarray(nrm.astype(np.float32)),
         use_light=True,
+        get_normal=True,
         tile=32,
         max_faces_per_tile=256,
     )
