@@ -60,7 +60,8 @@ def _raster_kernel(
     rec_ref,  # (1, C, D2, 128) VMEM f32: chunked face records, this pose
     out_ref,  # (1, T, OUT, P) VMEM f32: [attrs | z | mask] rows
     ovf_ref,  # (1, 1, T) SMEM i32: faces dropped beyond rounds*K
-    acc_ref,  # (D2, K) VMEM f32 scratch: current round's packed records
+    acc_ref,  # (D2-4, K) VMEM f32 scratch: current round's packed
+    # records without the 4 bbox rows (dead after the overlap test)
     *,
     tile: int,
     ntx: int,
@@ -72,12 +73,18 @@ def _raster_kernel(
     D2 = 17 + 3 * Da
     nsx = tile // _SUB
     n_sub = nsx * (tile // _SUB)
+    CW = 8  # chunks binned per group (static unroll width)
 
     # Rank/cumsum helpers, built once per program. U is the inclusive
-    # upper-triangular cumsum operator for 128-lane chunks.
+    # upper-triangular cumsum operator for 128-lane chunks; L is the
+    # strict-lower prefix operator across the CW chunks of a group.
     r128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     c128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     U = (r128 <= c128).astype(jnp.float32)
+    L = (
+        jax.lax.broadcasted_iota(jnp.int32, (CW, CW), 0)
+        > jax.lax.broadcasted_iota(jnp.int32, (CW, CW), 1)
+    ).astype(jnp.float32)
     rowid_k = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0).astype(
         jnp.float32
     )  # (K, 1)
@@ -103,34 +110,75 @@ def _raster_kernel(
 
         def fill(r):
             """Bin ranks [r*K, (r+1)*K) of this tile's overlapping faces
-            into acc. Returns the TOTAL overlap count (all ranks)."""
+            into acc. Returns the TOTAL overlap count (all ranks).
+
+            Chunks are processed CW at a time with a static unroll: one
+            stacked (CW, 128) rank matmul + CW INDEPENDENT one-hot
+            routing matmuls (tree-summed). The old one-chunk-at-a-time
+            loop serialized scalar load -> dynamic slab read -> rank ->
+            route on the loop-carried count; at ~6 active chunks x 25
+            tiles x 252 poses that latency chain was ~60% of the whole
+            kernel (43 ms of 70 measured on v5e)."""
             acc_ref[:] = jnp.zeros((acc_ref.shape[0], K), jnp.float32)
-
-            def do_chunk(j, base):
-                cid = act_ref[0, t, j]
-                slab = rec_ref[0, cid, :, :]  # (D2, 128)
-                ov = (
-                    (slab[0:1, :] <= tx1)
-                    & (slab[1:2, :] >= tx0)
-                    & (slab[2:3, :] <= ty1)
-                    & (slab[3:4, :] >= ty0)
-                    & (slab[13:14, :] > 0)
-                )
-                ovf = ov.astype(jnp.float32)  # (1, 128)
-                pos = jax.lax.dot_general(
-                    ovf, U, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (1, 128) inclusive rank; 0/1 matmul is exact
-                tgt = pos + base - (1.0 + r * K)
-                oh = ((rowid_k == tgt) & ov).astype(jnp.float32)  # (K, 128)
-                acc_ref[:] += jax.lax.dot_general(
-                    slab, oh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=_HI,
-                )  # (D2, K): exact one-hot routing
-                return base + jnp.sum(ovf)
-
             n_act = acnt_ref[0, 0, t]
-            return jax.lax.fori_loop(0, n_act, do_chunk, jnp.float32(0.0))
+            n_grp = (n_act + (CW - 1)) // CW
+            n_act_f = n_act.astype(jnp.float32)
+
+            def do_group(g, base):
+                j0 = g * CW
+                slabs, ovs = [], []
+                for j in range(CW):
+                    cid = act_ref[0, t, j0 + j]
+                    slab = rec_ref[0, cid, :, :]  # (D2, 128)
+                    live = (j0 + j).astype(jnp.float32) < n_act_f
+                    ov = (
+                        (slab[0:1, :] <= tx1)
+                        & (slab[1:2, :] >= tx0)
+                        & (slab[2:3, :] <= ty1)
+                        & (slab[3:4, :] >= ty0)
+                        & (slab[13:14, :] > 0)
+                        & live
+                    )
+                    slabs.append(slab)
+                    ovs.append(ov)
+                OV = jnp.concatenate(
+                    [o.astype(jnp.float32) for o in ovs], axis=0
+                )  # (CW, 128)
+                ranks = jax.lax.dot_general(
+                    OV, U, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (CW, 128) inclusive within-chunk; 0/1 matmul exact
+                totals = ranks[:, 127:128]  # (CW, 1)
+                bases = jax.lax.dot_general(
+                    L, totals, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (CW, 1) exclusive prefix across the group
+                tgt = ranks + bases + (base - 1.0 - r * K)  # (CW, 128)
+                # Dead lanes (no overlap) keep the running rank of an
+                # earlier lane; poison them so the one-hot can't match
+                # (arithmetic form — Mosaic rejects bool-concat selects).
+                tgt = tgt * OV - (1.0 - OV) * jnp.float32(2e9)
+                # ONE wide routing matmul instead of CW small ones: the
+                # (D2-4, 128) x (128, K) per-chunk products were MXU
+                # issue-latency bound; concatenating the group's slabs
+                # and targets along lanes turns them into a single
+                # 1024-deep contraction the MXU pipelines end-to-end.
+                # bbox rows 0..3 are dead after the overlap test — route
+                # only rows 4.. (coeffs | zinv | attrs).
+                slab_all = jnp.concatenate(
+                    [s[4:] for s in slabs], axis=1
+                )  # (D2-4, CW*128)
+                tgt_all = tgt.reshape(1, CW * 128)  # chunk-major lanes
+                oh_all = (rowid_k == tgt_all).astype(
+                    jnp.float32
+                )  # (K, CW*128)
+                acc_ref[:] += jax.lax.dot_general(
+                    slab_all, oh_all, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HI,
+                )  # (D2-4, K): exact one-hot routing
+                return base + jnp.sum(totals)
+
+            return jax.lax.fori_loop(0, n_grp, do_group, jnp.float32(0.0))
 
         def eval_subtile(s, width=None):
             """Edge-test the first `width` (default K) candidates of acc
@@ -139,20 +187,23 @@ def _raster_kernel(
 
             `width` < K is EXACT whenever the tile's candidate count is
             <= width: fill() packs ranks ascending, so all candidates
-            then live in the first `width` lanes."""
+            then live in the first `width` lanes.
+
+            acc rows are the record rows MINUS the four bbox rows (fill
+            does not route them): [10 coeffs | 3 zinv | 3*Da attrs]."""
             sxf = tx0 + (s % nsx) * _SUB
             syf = ty0 + (s // nsx) * _SUB
             px = sxf + lx  # (64, 1)
             py = syf + ly
             A = acc_ref[:, : (width or K)]
-            w0 = px * A[4:5, :] + py * A[5:6, :] + A[6:7, :]  # (64, K)
-            w1 = px * A[7:8, :] + py * A[8:9, :] + A[9:10, :]
-            w2 = px * A[10:11, :] + py * A[11:12, :] + A[12:13, :]
+            w0 = px * A[0:1, :] + py * A[1:2, :] + A[2:3, :]  # (64, K)
+            w1 = px * A[3:4, :] + py * A[4:5, :] + A[5:6, :]
+            w2 = px * A[6:7, :] + py * A[7:8, :] + A[8:9, :]
             eps = -1e-5
             inside = (
-                (w0 >= eps) & (w1 >= eps) & (w2 >= eps) & (A[13:14, :] > 0)
+                (w0 >= eps) & (w1 >= eps) & (w2 >= eps) & (A[9:10, :] > 0)
             )
-            zsum = w0 * A[14:15, :] + w1 * A[15:16, :] + w2 * A[16:17, :]
+            zsum = w0 * A[10:11, :] + w1 * A[11:12, :] + w2 * A[12:13, :]
             z = jnp.where(inside & (zsum > 1e-12), 1.0 / zsum, _BIG)
             zmin = jnp.min(z, axis=1, keepdims=True)  # (64, 1)
             covered = zmin < _BIG
@@ -170,13 +221,13 @@ def _raster_kernel(
             # attribute interpolation becomes three small matmuls — no
             # winner-record fetch, no per-pixel gather.
             zsg = jnp.where(zsum > 1e-12, zsum, 1.0)
-            W0 = ohw * (w0 * A[14:15, :] / zsg)
-            W1 = ohw * (w1 * A[15:16, :] / zsg)
+            W0 = ohw * (w0 * A[10:11, :] / zsg)
+            W1 = ohw * (w1 * A[11:12, :] / zsg)
             W2 = ohw - W0 - W1  # c2 = 1 - c0 - c1 on the winner lane
 
             def interp(Wv, g):
                 return jax.lax.dot_general(
-                    A[17 + g * Da : 17 + (g + 1) * Da, :], Wv,
+                    A[13 + g * Da : 13 + (g + 1) * Da, :], Wv,
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=_HI,
                 )  # (Da, 64)
@@ -294,6 +345,14 @@ def raster_pose_pallas(
     # chunk-major layout: the kernel indexes chunks on a leading dim
     # (cheap address offset) instead of a dynamic lane slice.
     rec_c = rec.reshape(N, D2, C, 128).transpose(0, 2, 1, 3)
+    # the group-unrolled fill reads act in blocks of 8 entries; pad the
+    # chunk-list width so the last block never indexes out of bounds
+    # (padded entries are dead: their lanes fail the `live` test).
+    pad_c = (-act.shape[2]) % 8
+    if pad_c:
+        act = jnp.concatenate(
+            [act, jnp.zeros((N, T, pad_c), act.dtype)], axis=2
+        )
 
     kern = functools.partial(
         _raster_kernel, tile=tile, ntx=ntx, nty=nty, K=K, Da=Da,
@@ -320,7 +379,7 @@ def raster_pose_pallas(
             pl.BlockSpec((1, 1, T), lambda n: (n, 0, 0),
                          memory_space=pltpu.SMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((D2, K), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((D2 - 4, K), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

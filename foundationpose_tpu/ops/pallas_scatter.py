@@ -98,7 +98,7 @@ def sorted_segment_add_pallas(
     upd: jax.Array,  # (M, C) f32
     table_size: int,
     block: int = 512,
-    rows_per_chunk: int = 1,
+    rows_per_chunk: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
     """Dense (table_size, C) sum of updates grouped by index.
@@ -189,7 +189,7 @@ def sorted_segment_add_planes(idx, upd_planes, table_size, interpret=False):
     jax.jit, static_argnames=("table_size", "block", "rows_per_chunk", "interpret")
 )
 def _segment_add_from_planes(
-    idx, upd_planes, table_size, block=512, rows_per_chunk=1, interpret=False
+    idx, upd_planes, table_size, block=512, rows_per_chunk=8, interpret=False
 ):
     C, M = upd_planes.shape
     n_blocks = (table_size + block - 1) // block

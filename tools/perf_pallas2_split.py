@@ -92,7 +92,7 @@ def main():
                 jnp.linalg.norm(vn_cam, axis=-1, keepdims=True), 1e-12)
             diff = jnp.clip(jnp.sum(vn_n * (-light)[None], axis=-1), 0, 1)[:, None]
             col = mt.uv if mt.uv is not None else mt.vertex_color
-            vdata = jnp.concatenate([xy1, pc, col, diff, vn_cam], axis=-1)
+            vdata = jnp.concatenate([xy1, pc, col, diff], axis=-1)
             coeffs, zinv = _face_coeffs(xy_f, z_f, valid)
             rec = pack_records(xy_f, z_f, valid, vdata[fcs], coeffs, zinv)
             act, acnt = active_chunks(rec, 160, 160, 32)
