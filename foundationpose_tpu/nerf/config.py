@@ -29,6 +29,10 @@ class NerfCfg:
     log2_hashmap_size: int = 22
     base_res: int = 32
     finest_res: int = 512  # 256 for the linemod config
+    # "quad" = TPU-native 4-corner-row layout (4x fewer gather
+    # descriptors per step, z-scrambled hash); "cuda" = torch-ngp
+    # index-exact hashing (ops/hashgrid.py docstring).
+    grid_layout: str = "quad"
 
     # SH view encoding
     multires_views: int = 3  # SH degree
@@ -36,6 +40,9 @@ class NerfCfg:
     # occupancy grid (replaces the kaolin octree)
     occ_voxel_size: float = 0.02  # octree_raytracing_voxel_size (normalized units x sc)
     occ_dilate: int = 1
+    # drop rays whose depth point is >2 cm from the fused build cloud
+    # (nerf_runner.py:179-196; ON in config_ycbv.yml:52)
+    denoise_depth_use_octree_cloud: bool = True
 
     # SDF losses
     rgb_weight: float = 100.0  # 1 for linemod config
@@ -49,6 +56,15 @@ class NerfCfg:
     feature_reg_weight: float = 0.1
     pose_reg_weight: float = 0.0
     first_frame_weight: float = 1.0
+
+    # optional paths the reference carries but ships OFF
+    # (config_ycbv.yml:20-21,66-71,75,84)
+    trunc_start: float = 0.01  # annealing start (meters)
+    trunc_decay_type: str = ""  # "", "linear", "exp" (nerf_runner.py:491-504)
+    depth_weight: float = 0.0  # first-SDF-crossing depth MSE (:540-547)
+    eikonal_weight: float = 0.0  # |grad sdf| = 1 regularizer (:563-567)
+    fs_rgb_weight: float = 0.0  # white-color free-space rgb loss (:558-561)
+    n_importance: int = 0  # hierarchical resampling (:806-829)
 
     # per-frame corrections
     frame_features: int = 2

@@ -50,6 +50,36 @@ from .scene import BAD_DEPTH
 logger = logging.getLogger(__name__)
 
 
+def sample_pdf(bins, weights, n_samples, key, perturb=True):
+    """Inverse-CDF resampling (nerf_helpers.py:358-385, vectorized).
+
+    bins (N, B), weights (N, B-1) -> (N, n_samples) z values drawn from
+    the piecewise-constant pdf over the bins."""
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)
+    N = bins.shape[0]
+    if perturb:
+        u = jax.random.uniform(key, (N, n_samples))
+    else:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, n_samples)[None], (N, n_samples)
+        )
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(
+        cdf, u
+    )
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_b = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
+    bins_a = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+    denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
+    t = (u - cdf_b) / denom
+    return bins_b + t * (bins_a - bins_b)
+
+
 def make_frame_rays(rgb, depth, mask, K, frame_id, dilate=0):
     """Per-frame ray records (nerf_runner.py:247-317, CV convention).
 
@@ -109,9 +139,13 @@ class NerfRunner:
             )
             for i in range(self.n_frames)
         ]
-        self.rays = {
-            k: jnp.asarray(np.concatenate([r[k] for r in rays])) for k in rays[0]
+        rays_np = {
+            k: np.concatenate([r[k] for r in rays]) for k in rays[0]
         }
+        self._denoise_dropped = 0
+        if cfg.denoise_depth_use_octree_cloud:
+            rays_np = self._denoise_rays_octree_cloud(rays_np, build_pcd)
+        self.rays = {k: jnp.asarray(v) for k, v in rays_np.items()}
         self.n_rays = int(self.rays["dir"].shape[0])
         logger.info("rays: %d over %d frames", self.n_rays, self.n_frames)
 
@@ -121,6 +155,7 @@ class NerfRunner:
             base_resolution=cfg.base_res,
             desired_resolution=cfg.finest_res,
             log2_hashmap_size=cfg.log2_hashmap_size,
+            layout=cfg.grid_layout,
         )
         key = jax.random.PRNGKey(seed)
         k1, k2, k3 = jax.random.split(key, 3)
@@ -145,6 +180,32 @@ class NerfRunner:
         self.opt_state = self.optimizer.init(self.params)
         self.global_step = 0
 
+    def _denoise_rays_octree_cloud(self, rays_np, build_pcd):
+        """Drop rays whose depth point is far from the build cloud —
+        the reference's octree-cloud depth denoise
+        (nerf_runner.py:179-196, ON in config_ycbv.yml:52): sensor-depth
+        outliers train spurious SDF surfaces. Host-side cKDTree over the
+        (normalized) fused cloud; rays whose observed 3D point is more
+        than 2 cm (real scale) from it are removed entirely."""
+        from scipy.spatial import cKDTree
+
+        cfg = self.cfg
+        depth = rays_np["depth"]
+        sel = depth <= cfg.far * cfg.sc_factor  # BAD_DEPTH rays excluded
+        if not sel.any() or len(np.asarray(build_pcd)) == 0:
+            return rays_np
+        pts_cam = rays_np["dir"][sel] * depth[sel, None]
+        fids = rays_np["frame_id"][sel]
+        tf = self.poses[fids]  # (n, 4, 4) cam_in_ob, normalized
+        pts_w = np.einsum("nij,nj->ni", tf[:, :3, :3], pts_cam) + tf[:, :3, 3]
+        dists, _ = cKDTree(np.asarray(build_pcd)).query(pts_w, k=1, workers=-1)
+        bad = dists > 0.02 * cfg.sc_factor
+        keep = np.ones(len(depth), bool)
+        keep[np.nonzero(sel)[0][bad]] = False
+        self._denoise_dropped = int(bad.sum())
+        logger.info("octree-cloud denoise: dropped %d rays", self._denoise_dropped)
+        return {k: v[keep] for k, v in rays_np.items()}
+
     # ----------------------------------------------------------- render
     #
     # NOTE: traced code must take the big device arrays (rays, occupancy
@@ -162,7 +223,25 @@ class NerfRunner:
             return corr[frame_ids] @ c2w[frame_ids]
         return c2w[frame_ids]
 
-    def _render_rays(self, params, batch, key, occ, c2w, perturb=True):
+    def _truncation(self, step):
+        """Annealed truncation band in NORMALIZED units
+        (nerf_runner.py:491-504; trunc_decay_type '' = constant)."""
+        cfg = self.cfg
+        if cfg.trunc_decay_type == "linear":
+            tr = cfg.trunc_start - (cfg.trunc_start - cfg.trunc) * (
+                step / cfg.n_step
+            )
+        elif cfg.trunc_decay_type == "exp":
+            lamb = float(
+                np.log(cfg.trunc / cfg.trunc_start) / (cfg.n_step / 4)
+            )
+            tr = jnp.maximum(cfg.trunc_start * jnp.exp(step * lamb), cfg.trunc)
+        else:
+            tr = jnp.float32(cfg.trunc)
+        return tr * cfg.sc_factor
+
+    def _render_rays(self, params, batch, key, occ, c2w, perturb=True,
+                     trunc=None):
         """Returns dict: rgb (N,3), sdf (N,S), z_vals (N,S), valid (N,S)."""
         cfg = self.cfg
         dirs = batch["dir"]  # (N, 3) cam frame, z = 1
@@ -174,9 +253,10 @@ class NerfRunner:
         rays_o_w = tf[:, :3, 3]
         rays_d_w = jnp.einsum("nij,nj->ni", tf[:, :3, :3], dirs)
         far_clip = cfg.far * cfg.sc_factor
-        trunc = cfg.trunc * cfg.sc_factor
+        if trunc is None:
+            trunc = cfg.trunc * cfg.sc_factor
 
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         z_occ, valid_occ = sample_occupied(
             occ,
             rays_o_w,
@@ -205,37 +285,77 @@ class NerfRunner:
             z_all = jnp.concatenate([z_all, z_d], axis=-1)
             valid_all = jnp.concatenate([valid_all, valid_d], axis=-1)
 
-        S = z_all.shape[-1]
-        pts_w = rays_o_w[:, None] + rays_d_w[:, None] * z_all[..., None]  # (N,S,3)
-        valid_all = valid_all & jnp.all(jnp.abs(pts_w) <= 1.0, axis=-1)
-
-        emb = hashgrid_encode(
-            params["grid"], pts_w.reshape(-1, 3), self.grid_cfg
-        ).reshape(N, S, -1)
         feats = params["features"][frame_ids]  # (N, F)
         view_w = rays_d_w / jnp.linalg.norm(rays_d_w, axis=-1, keepdims=True)
         sh = sh_encode(view_w, self.cfg.multires_views)  # (N, deg^2)
-        view_emb = jnp.concatenate([sh, feats], axis=-1)[:, None].repeat(S, axis=1)
-
+        view1 = jnp.concatenate([sh, feats], axis=-1)  # (N, V)
         dtype = jnp.bfloat16 if cfg.amp else jnp.float32
-        raw = apply_nerf_mlp(params["mlp"], emb, view_emb, dtype=dtype)  # (N,S,4)
+
+        def run_network(z_vals, valid):
+            S = z_vals.shape[-1]
+            pts_w = (
+                rays_o_w[:, None] + rays_d_w[:, None] * z_vals[..., None]
+            )  # (N, S, 3)
+            valid = valid & jnp.all(jnp.abs(pts_w) <= 1.0, axis=-1)
+            emb = hashgrid_encode(
+                params["grid"], pts_w.reshape(-1, 3), self.grid_cfg
+            ).reshape(N, S, -1)
+            view_emb = view1[:, None].repeat(S, axis=1)
+            raw = apply_nerf_mlp(
+                params["mlp"], emb, view_emb, dtype=dtype
+            )  # (N, S, 4)
+            return raw, valid, pts_w
+
+        def band_weights(z_vals, valid):
+            # sdf2weights band rendering (nerf_runner.py:848-885).
+            sdf_from_depth = (depth[:, None] - z_vals) / trunc
+            w = jax.nn.sigmoid(sdf_from_depth * cfg.sdf_lambda) * jax.nn.sigmoid(
+                -sdf_from_depth * cfg.sdf_lambda
+            )
+            band = (z_vals - depth[:, None] <= trunc * cfg.neg_trunc_ratio) & (
+                z_vals - depth[:, None] >= -trunc
+            )
+            depth_ok = depth[:, None] <= far_clip
+            w = jnp.where(band & depth_ok & valid, w, 0.0)
+            return w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-10)
+
+        raw, valid_all, pts_w = run_network(z_all, valid_all)
+        w = band_weights(z_all, valid_all)
+
+        if cfg.n_importance > 0:
+            # Hierarchical resampling (nerf_runner.py:806-829, single
+            # shared model): draw from the first pass's weight pdf,
+            # evaluate, merge z-sorted with the uniform set.
+            z_mid = 0.5 * (z_all[:, 1:] + z_all[:, :-1])
+            z_imp = jax.lax.stop_gradient(
+                sample_pdf(z_mid, w[:, 1:-1], cfg.n_importance, k3, perturb)
+            )
+            valid_imp = jnp.broadcast_to(
+                jnp.any(valid_all, axis=-1, keepdims=True),
+                z_imp.shape,
+            )
+            raw_imp, valid_imp, _ = run_network(z_imp, valid_imp)
+            z_all = jnp.concatenate([z_all, z_imp], axis=-1)
+            order = jnp.argsort(z_all, axis=-1)
+            z_all = jnp.take_along_axis(z_all, order, axis=-1)
+            raw = jnp.take_along_axis(
+                jnp.concatenate([raw, raw_imp], axis=1),
+                order[..., None], axis=1,
+            )
+            valid_all = jnp.take_along_axis(
+                jnp.concatenate([valid_all, valid_imp], axis=-1),
+                order, axis=-1,
+            )
+            w = band_weights(z_all, valid_all)
+            pts_w = (
+                rays_o_w[:, None] + rays_d_w[:, None] * z_all[..., None]
+            )
+
         sdf = raw[..., 3]
         rgb_logits = raw[..., :3]
-
-        # sdf2weights band rendering (nerf_runner.py:848-885).
-        sdf_from_depth = (depth[:, None] - z_all) / trunc
-        w = jax.nn.sigmoid(sdf_from_depth * cfg.sdf_lambda) * jax.nn.sigmoid(
-            -sdf_from_depth * cfg.sdf_lambda
-        )
-        band = (z_all - depth[:, None] <= trunc * cfg.neg_trunc_ratio) & (
-            z_all - depth[:, None] >= -trunc
-        )
-        depth_ok = depth[:, None] <= far_clip
-        w = jnp.where(band & depth_ok & valid_all, w, 0.0)
-        w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-10)
         rgb = jnp.sum(w[..., None] * jax.nn.sigmoid(rgb_logits), axis=-2)
 
-        return {
+        out = {
             "rgb": rgb,
             "raw_rgb": rgb_logits,
             "sdf": sdf,
@@ -243,12 +363,35 @@ class NerfRunner:
             "valid": valid_all,
             "weights": w,
         }
+        if cfg.eikonal_weight > 0:
+            # |grad sdf| via one vjp over the (independent-per-point)
+            # field (nerf_runner.py:563-567 uses autograd normals).
+            S = z_all.shape[-1]
+
+            def sdf_sum(pw):
+                emb = hashgrid_encode(
+                    params["grid"], pw.reshape(-1, 3), self.grid_cfg
+                ).reshape(N, S, -1)
+                ve = view1[:, None].repeat(S, axis=1)
+                return apply_nerf_mlp(
+                    params["mlp"], emb, ve, dtype=dtype
+                )[..., 3].sum()
+
+            out["normals"] = jax.grad(sdf_sum)(pts_w)  # (N, S, 3)
+        return out
 
     # ------------------------------------------------------------ losses
 
-    def _loss(self, params, batch, key, occ, c2w):
+    def _loss(self, params, batch, key, occ, c2w, step=None):
         cfg = self.cfg
-        out = self._render_rays(params, batch, key, occ, c2w, perturb=True)
+        trunc = (
+            self._truncation(step)
+            if step is not None
+            else jnp.float32(cfg.trunc * cfg.sc_factor)
+        )
+        out = self._render_rays(
+            params, batch, key, occ, c2w, perturb=True, trunc=trunc
+        )
         sdf = out["sdf"]
         z_vals = out["z_vals"]
         valid = out["valid"]
@@ -256,7 +399,6 @@ class NerfRunner:
         N, S = sdf.shape
 
         far_clip = cfg.far * cfg.sc_factor
-        trunc = cfg.trunc * cfg.sc_factor
         target_d = depth[:, None]
 
         valid_rays = jnp.any(valid, axis=-1)
@@ -287,29 +429,68 @@ class NerfRunner:
         )
 
         loss = rgb_loss + fs_loss + empty_loss + sdf_loss
-        if cfg.frame_features > 0:
-            loss = loss + cfg.feature_reg_weight * jnp.mean(params["features"] ** 2)
-        if cfg.optimize_poses and cfg.pose_reg_weight > 0:
-            loss = loss + cfg.pose_reg_weight * jnp.linalg.norm(params["pose"][1:])
         aux = {
             "rgb_loss": rgb_loss,
             "fs_loss": fs_loss,
             "empty_loss": empty_loss,
             "sdf_loss": sdf_loss,
         }
+
+        if cfg.depth_weight > 0:
+            # First-SDF-zero-crossing depth MSE (nerf_runner.py:540-547).
+            signs = sdf[:, 1:] * sdf[:, :-1]
+            crossing = signs < 0
+            inds = jnp.argmax(crossing.astype(jnp.int32), axis=1)
+            z_min = jnp.take_along_axis(z_vals, inds[:, None], axis=1)
+            dw = (
+                ray_w[:, None]
+                * (target_d <= far_clip)
+                * jnp.any(crossing, axis=-1, keepdims=True)
+            )
+            depth_loss = (
+                jnp.mean((z_min * dw - target_d * dw) ** 2) * cfg.depth_weight
+            )
+            loss = loss + depth_loss
+            aux["depth_loss"] = depth_loss
+
+        if cfg.fs_rgb_weight > 0:
+            # Free-space color prior: predict white in front of the
+            # surface (nerf_runner.py:558-561).
+            fs_rgb_loss = jnp.mean(
+                ((jax.nn.sigmoid(out["raw_rgb"]) - 1.0)
+                 * front[..., None]) ** 2
+                * sample_w[..., None]
+            ) * cfg.fs_rgb_weight
+            loss = loss + fs_rgb_loss
+            aux["fs_rgb_loss"] = fs_rgb_loss
+
+        if cfg.eikonal_weight > 0:
+            # |grad sdf| = 1 inside the narrow band
+            # (nerf_runner.py:563-567: mask sdf < 1).
+            nrm = jnp.linalg.norm(out["normals"], axis=-1)
+            m = (sdf < 1.0) & valid
+            eik = jnp.sum(((nrm - 1.0) ** 2) * m) / (jnp.sum(m) + 1e-9)
+            eikonal_loss = eik * cfg.eikonal_weight
+            loss = loss + eikonal_loss
+            aux["eikonal_loss"] = eikonal_loss
+
+        if cfg.frame_features > 0:
+            loss = loss + cfg.feature_reg_weight * jnp.mean(params["features"] ** 2)
+        if cfg.optimize_poses and cfg.pose_reg_weight > 0:
+            loss = loss + cfg.pose_reg_weight * jnp.linalg.norm(params["pose"][1:])
         return loss, aux
 
     def _make_train_step(self):
         optimizer = self.optimizer
         n_rand = self.cfg.n_rand
 
-        def step(params, opt_state, rays, occ, c2w, key):
+        def step(params, opt_state, rays, occ, c2w, key, step_i):
             k1, k2 = jax.random.split(key)
             n_rays = rays["dir"].shape[0]
             idx = jax.random.randint(k1, (n_rand,), 0, n_rays)
             batch = {k: v[idx] for k, v in rays.items()}
             (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
-                params, batch, k2, occ, c2w
+                params, batch, k2, occ, c2w, step_i
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -321,7 +502,8 @@ class NerfRunner:
         if not hasattr(self, "_train_step_fn"):
             self._train_step_fn = self._make_train_step()
         return self._train_step_fn(
-            params, opt_state, self.rays, self.occ, self.c2w, key
+            params, opt_state, self.rays, self.occ, self.c2w, key,
+            jnp.float32(self.global_step),
         )
 
     def train(

@@ -2,23 +2,29 @@
 
 XLA's scatter-add on TPU serializes (~80 ns/update: 1.4 s for the 16.7M
 hash-grid gradient updates of ONE NeRF step at 512 rays, OOM at the full
-2048-ray config). This kernel rebuilds the dense gradient with
-VMEM-resident one-hot accumulation instead:
+2048-ray config). This kernel rebuilds the dense gradient with a
+one-hot MXU contraction instead:
 
 1. XLA sorts the (index, update) stream by index (bitonic sort is
-   vector-friendly: ~80 ms for 16.7M keys) and computes each table
-   block's contribution range with a tiny searchsorted on the block
-   boundaries.
-2. The kernel walks table blocks; per block it streams the 128-aligned
-   rows overlapping its contribution range (async DMA off scalar-
-   prefetched bounds), builds a (block, 128) one-hot, and reduces
-   updates into the block accumulator. Duplicate indices simply add;
-   rows straddling block boundaries are masked per block, never
-   double-counted.
+   vector-friendly: ~60 ms for 16.7M keys + 8 payload planes) and
+   computes each table block's contribution range with a tiny
+   searchsorted on the block boundaries.
+2. The kernel walks table blocks; per block it streams `span`-wide
+   chunks of the sorted flat (index, update-planes) arrays overlapping
+   its range (async DMA off scalar-prefetched bounds), builds ONE
+   (block, span) equality one-hot, and reduces ALL channels in ONE
+   matmul: acc (C, block) += upd (C, span) @ oh^T. Duplicate indices
+   simply add; chunk lanes outside the block's range are masked by the
+   position test (and could not match the block's row-id iota anyway).
 
-All HBM layouts keep a 128-lane minor dimension (idx as (M/128, 128),
-updates as channel planes (C, M/128, 128), output as (C, blocks, block))
-— anything minor-dim-1 would be tile-padded 128x by Mosaic.
+Layouts are flat 128-lane-minor: idx (1, M), updates (2C, M) bf16
+hi/lo-split planes, output (C, blocks*block). Updates are split into
+hi + lo bf16 parts BEFORE the sort (Mosaic kernels support only
+DEFAULT/HIGHEST dot precision), so the contraction is one native bf16
+MXU pass and each update lands with ~2^-16 relative error, f32
+accumulated — gradient-grade accuracy. (The previous formulation
+reduced each 128-lane row on the VPU: 840 ms at 16.7M x 8 channels on
+v5e; this one is matmul-bound.)
 """
 from __future__ import annotations
 
@@ -31,22 +37,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import jax_config  # noqa: F401
 
-_LANE = 128  # hardware lane width; storage rows are row_width entries
+_LANE = 128  # hardware lane width
 
 
 def _seg_add_kernel(
     lo_ref, idx_ref, upd_ref, out_ref, idx_s, upd_s, sem, *,
-    block, n_rows, cdim, rows_per_chunk,
+    block, cdim, span,
 ):
     """lo_ref: scalar-prefetch (n_blocks+1,) int32 contribution bounds.
-    idx_ref: (n_rows, 128) int32 sorted indices (HBM).
-    upd_ref: (cdim, n_rows, 128) f32 sorted updates (HBM).
+    idx_ref: (1, Mp) int32 sorted indices (HBM, flat).
+    upd_ref: (2*cdim, Mp) bf16 sorted updates, hi/lo split (HBM, flat).
     out_ref: (cdim, block) dense gradient block.
-    idx_s: VMEM (R, 128) scratch; upd_s: VMEM (cdim, R, 128); sem: DMA.
-    Chunks are R=rows_per_chunk 8-aligned storage rows (Mosaic slices of
-    an (n, 128) HBM memref must be 8-row aligned)."""
-    R = rows_per_chunk
-    span = R * _LANE
+    idx_s: VMEM (1, span) scratch; upd_s: VMEM (2*cdim, span); sem: DMA."""
     b = pl.program_id(0)
     lo = lo_ref[b]
     hi = lo_ref[b + 1]
@@ -54,86 +56,98 @@ def _seg_add_kernel(
     c0 = lo // span
     n_chunks = jnp.maximum((hi + span - 1) // span - c0, 0)
 
-    e_iota = jax.lax.broadcasted_iota(jnp.int32, (block, _LANE), 0) + base
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+    e_col = (
+        jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0) + base
+    )  # (block, 1) table row ids of this block
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
 
     def body(ci, acc):
         sc = c0 + ci
         cp1 = pltpu.make_async_copy(
-            idx_ref.at[pl.ds(sc * R, R), :], idx_s, sem.at[0]
+            idx_ref.at[:, pl.ds(sc * span, span)], idx_s, sem.at[0]
         )
         cp2 = pltpu.make_async_copy(
-            upd_ref.at[:, pl.ds(sc * R, R), :], upd_s, sem.at[1]
+            upd_ref.at[:, pl.ds(sc * span, span)], upd_s, sem.at[1]
         )
         cp1.start()
         cp2.start()
         cp1.wait()
         cp2.wait()
-        # Static unroll over the R rows of the chunk (Mosaic vector
-        # layouts are 2D; 3D broadcasts crash the layout pass).
-        for r in range(R):
-            idx_r = idx_s[r : r + 1, :]  # (1, 128)
-            pos = (sc * R + r) * _LANE + s_iota
-            valid = (pos >= lo) & (pos < hi)
-            oh = ((idx_r == e_iota) & valid).astype(jnp.float32)  # (block, 128)
-            contribs = []
-            for c in range(cdim):
-                contribs.append(
-                    jnp.sum(oh * upd_s[c, r : r + 1, :], axis=1)
-                )  # (block,)
-            acc = acc + jnp.stack(contribs, axis=0)
-        return acc  # (cdim, block)
+        pos = sc * span + s_iota
+        valid = (pos >= lo) & (pos < hi)
+        oh = ((idx_s[:] == e_col) & valid).astype(
+            jnp.bfloat16
+        )  # (block, span), exactly representable
+        contrib = jax.lax.dot_general(
+            upd_s[:], oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,  # the session-wide
+            # float32 precision pin is incompatible with bf16 operands
+        )  # (2*cdim, block), one native bf16 MXU pass, f32 accumulate
+        return acc + contrib
 
     acc = jax.lax.fori_loop(
-        0, n_chunks, body, jnp.zeros((cdim, block), jnp.float32)
+        0, n_chunks, body, jnp.zeros((2 * cdim, block), jnp.float32)
     )
-    out_ref[:, :] = acc
+    # fold the hi/lo split: update = hi + lo to ~2^-16 relative
+    out_ref[:, :] = acc[:cdim, :] + acc[cdim:, :]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("table_size", "block", "rows_per_chunk", "interpret")
+    jax.jit, static_argnames=("table_size", "block", "span", "interpret")
 )
-def sorted_segment_add_pallas(
+def _segment_add_flat(
     idx: jax.Array,  # (M,) int32, ANY order (sorted internally)
-    upd: jax.Array,  # (M, C) f32
+    upd_planes: jax.Array,  # (C, M) f32
     table_size: int,
-    block: int = 512,
-    rows_per_chunk: int = 8,
+    block: int = 1024,
+    span: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """Dense (table_size, C) sum of updates grouped by index.
 
     Out-of-range indices (>= table_size, e.g. a drop sentinel) are
-    ignored.
-    """
-    M, C = idx.shape[0], upd.shape[1]
+    ignored."""
+    C, M = upd_planes.shape
     n_blocks = (table_size + block - 1) // block
     padded_size = n_blocks * block
 
-    pad = (-M) % (rows_per_chunk * _LANE)
+    pad = (-M) % span
     if pad:
         idx = jnp.concatenate(
             [idx, jnp.full((pad,), padded_size + 1, jnp.int32)]
         )
-        upd = jnp.concatenate([upd, jnp.zeros((pad, C), upd.dtype)])
-    Mp = idx.shape[0]
-    n_rows = Mp // _LANE
+        upd_planes = jnp.concatenate(
+            [upd_planes, jnp.zeros((C, pad), upd_planes.dtype)], axis=1
+        )
 
+    # hi/lo bf16 operand split BEFORE the sort: the one-hot contraction
+    # runs as a single native bf16 MXU pass, and the sort payload halves.
+    # The hi part is built by MANTISSA BIT-MASKING, not dtype rounding:
+    # XLA runs with --xla_allow_excess_precision, which elides the
+    # rounding in `upd - f32(bf16(upd))` and silently zeroes the lo part
+    # (measured: 1.75e-3 relative error instead of ~1e-5).
+    hi_f32 = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(upd_planes, jnp.uint32)
+        & jnp.uint32(0xFFFF0000),
+        jnp.float32,
+    )
+    hi16 = hi_f32.astype(jnp.bfloat16)  # exact: mantissa already fits
+    lo16 = (upd_planes - hi_f32).astype(jnp.bfloat16)
     sorted_vals = jax.lax.sort(
-        [idx] + [upd[:, c] for c in range(C)], num_keys=1
+        [idx]
+        + [hi16[c] for c in range(C)]
+        + [lo16[c] for c in range(C)],
+        num_keys=1,
     )
     idx_s = sorted_vals[0]
-    upd_planes = jnp.stack(sorted_vals[1:], axis=0).reshape(C, n_rows, _LANE)
-    idx_rows = idx_s.reshape(n_rows, _LANE)
+    upd_sorted = jnp.stack(sorted_vals[1:], axis=0)  # (2C, Mp) bf16
 
     bounds = jnp.arange(n_blocks + 1, dtype=jnp.int32) * block
     lo = jnp.searchsorted(idx_s, bounds, side="left").astype(jnp.int32)
 
     out = pl.pallas_call(
-        functools.partial(
-            _seg_add_kernel, block=block, n_rows=n_rows, cdim=C,
-            rows_per_chunk=rows_per_chunk,
-        ),
+        functools.partial(_seg_add_kernel, block=block, cdim=C, span=span),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_blocks,),
@@ -146,8 +160,8 @@ def sorted_segment_add_pallas(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((rows_per_chunk, _LANE), jnp.int32),
-                pltpu.VMEM((C, rows_per_chunk, _LANE), jnp.float32),
+                pltpu.VMEM((1, span), jnp.int32),
+                pltpu.VMEM((2 * C, span), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -156,8 +170,21 @@ def sorted_segment_add_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(lo, idx_rows, upd_planes)
+    )(lo, idx_s[None, :], upd_sorted)
     return out.T[:table_size]
+
+
+def sorted_segment_add_pallas(
+    idx, upd, table_size, block=512, rows_per_chunk=None, interpret=False
+):
+    """(M,) idx + (M, C) updates -> dense (table_size, C) sums.
+
+    rows_per_chunk is accepted for backward compatibility and ignored
+    (the kernel streams fixed `span`-wide chunks)."""
+    del rows_per_chunk
+    return _segment_add_flat(
+        idx, upd.T, table_size, block=block, interpret=interpret
+    )
 
 
 def sorted_segment_add(idx, upd, table_size, interpret=False):
@@ -175,7 +202,7 @@ def sorted_segment_add_planes(idx, upd_planes, table_size, interpret=False):
     """Channel-plane variant: upd_planes (C, M) — avoids ever building an
     (M, C) array (minor-dim-C layouts tile-pad badly on TPU)."""
     if jax.default_backend() == "tpu" or interpret:
-        return _segment_add_from_planes(
+        return _segment_add_flat(
             idx, upd_planes, table_size, interpret=interpret
         )
     return (
@@ -183,65 +210,3 @@ def sorted_segment_add_planes(idx, upd_planes, table_size, interpret=False):
         .at[idx]
         .add(upd_planes.T, mode="drop")
     )
-
-
-@functools.partial(
-    jax.jit, static_argnames=("table_size", "block", "rows_per_chunk", "interpret")
-)
-def _segment_add_from_planes(
-    idx, upd_planes, table_size, block=512, rows_per_chunk=8, interpret=False
-):
-    C, M = upd_planes.shape
-    n_blocks = (table_size + block - 1) // block
-    padded_size = n_blocks * block
-
-    pad = (-M) % (rows_per_chunk * _LANE)
-    if pad:
-        idx = jnp.concatenate(
-            [idx, jnp.full((pad,), padded_size + 1, jnp.int32)]
-        )
-        upd_planes = jnp.concatenate(
-            [upd_planes, jnp.zeros((C, pad), upd_planes.dtype)], axis=1
-        )
-    Mp = idx.shape[0]
-    n_rows = Mp // _LANE
-
-    sorted_vals = jax.lax.sort(
-        [idx] + [upd_planes[c] for c in range(C)], num_keys=1
-    )
-    idx_s = sorted_vals[0]
-    upd_sorted = jnp.stack(sorted_vals[1:], axis=0).reshape(C, n_rows, _LANE)
-    idx_rows = idx_s.reshape(n_rows, _LANE)
-
-    bounds = jnp.arange(n_blocks + 1, dtype=jnp.int32) * block
-    lo = jnp.searchsorted(idx_s, bounds, side="left").astype(jnp.int32)
-
-    out = pl.pallas_call(
-        functools.partial(
-            _seg_add_kernel, block=block, n_rows=n_rows, cdim=C,
-            rows_per_chunk=rows_per_chunk,
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_blocks,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
-            out_specs=pl.BlockSpec(
-                (C, block), lambda i, lo_ref: (0, i),
-                memory_space=pltpu.VMEM,
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((rows_per_chunk, _LANE), jnp.int32),
-                pltpu.VMEM((C, rows_per_chunk, _LANE), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((C, padded_size), jnp.float32),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-    )(lo, idx_rows, upd_sorted)
-    return out.T[:table_size]

@@ -162,6 +162,162 @@ class TestNeuralObjectField:
         assert mesh.texture.shape == (256, 256, 3)
 
 
+class TestOctreeCloudDenoise:
+    def _scene(self):
+        from foundationpose_tpu.meshio import make_box
+        from foundationpose_tpu.ops import render_mesh
+        from foundationpose_tpu.geometry.icosphere import sample_views_icosphere
+
+        box = make_box(np.array([0.2, 0.2, 0.2]))
+        K = np.array([[60.0, 0, 32.0], [0, 60.0, 32.0], [0, 0, 1.0]], np.float32)
+        views = sample_views_icosphere(n_views=4)
+        cam_in_obs = views.copy()
+        cam_in_obs[:, :3, 3] *= 0.6
+        out = render_mesh(
+            jnp.asarray(box.vertices.astype(np.float32)),
+            jnp.asarray(box.faces.astype(np.int32)),
+            jnp.asarray(np.linalg.inv(cam_in_obs).astype(np.float32)),
+            jnp.asarray(K), out_hw=(64, 64),
+            vertex_color=jnp.full((8, 3), 0.7), use_light=False, pose_block=12,
+        )
+        rgbs = (np.asarray(out.color) * 255).astype(np.uint8)
+        depths = np.asarray(out.depth).astype(np.float32)
+        masks = np.asarray(out.mask).astype(np.uint8)
+        return K, rgbs, depths, masks, cam_in_obs
+
+    def _runner(self, K, rgbs, depths, masks, cam_in_obs, cloud_depths=None,
+                **cfg_kw):
+        """cloud_depths: depths used for scene bounds + build cloud (the
+        fused cloud the reference denoises against is outlier-filtered,
+        so corrupt only the per-ray depths, not the cloud)."""
+        import dataclasses
+
+        from foundationpose_tpu.nerf import NerfCfg
+        from foundationpose_tpu.nerf.runner import NerfRunner
+        from foundationpose_tpu.nerf.scene import (
+            compute_scene_bounds, preprocess_data,
+        )
+
+        cfg = NerfCfg(n_step=1, n_rand=64, n_samples=8,
+                      n_samples_around_depth=8, num_levels=4, finest_res=64,
+                      log2_hashmap_size=12, amp=False, **cfg_kw)
+        cd = depths if cloud_depths is None else cloud_depths
+        sc, tr, pts = compute_scene_bounds(K, rgbs, cd, masks, cam_in_obs)
+        cfg = dataclasses.replace(
+            cfg, sc_factor=sc, translation=tuple(np.asarray(tr).tolist())
+        )
+        rn, dn, pn = preprocess_data(rgbs, depths, masks, cam_in_obs, sc, tr)
+        return NerfRunner(cfg, rn, dn, masks, pn, K, build_pcd=pts)
+
+    def test_outlier_depth_rays_dropped(self):
+        """Rays whose depth point is far from the build cloud are removed
+        (nerf_runner.py:179-196); clean rays survive."""
+        K, rgbs, depths, masks, cam_in_obs = self._scene()
+        # corrupt a patch of depths INSIDE the mask with a +50 cm outlier
+        # (well past the 20 cm box — +12 cm would land near its back face)
+        bad = depths.copy()
+        ys, xs = np.nonzero(masks[0])
+        sel = (ys[:50], xs[:50])
+        bad[0][sel] = depths[0][sel] + 0.5
+        r_clean = self._runner(K, rgbs, depths, masks, cam_in_obs)
+        r_bad = self._runner(K, rgbs, bad, masks, cam_in_obs,
+                             cloud_depths=depths)
+        assert r_clean._denoise_dropped <= 2
+        assert r_bad._denoise_dropped >= 40
+        assert r_bad.n_rays < r_clean.n_rays
+
+    def test_flag_off_keeps_rays(self):
+        K, rgbs, depths, masks, cam_in_obs = self._scene()
+        bad = depths.copy()
+        ys, xs = np.nonzero(masks[0])
+        bad[0][ys[:50], xs[:50]] += 0.5
+        r = self._runner(K, rgbs, bad, masks, cam_in_obs,
+                         denoise_depth_use_octree_cloud=False)
+        assert r._denoise_dropped == 0
+
+
+class TestOptionalNerfPaths:
+    """Reference-carried options that ship OFF (config_ycbv.yml:20-21,
+    66-71,75,84): hierarchical sampling, truncation annealing, depth /
+    eikonal / free-space-rgb losses."""
+
+    def _runner(self, **cfg_kw):
+        helper = TestOctreeCloudDenoise()
+        K, rgbs, depths, masks, cam_in_obs = helper._scene()
+        return helper._runner(K, rgbs, depths, masks, cam_in_obs, **cfg_kw)
+
+    def _step(self, runner):
+        p, o, loss, aux = runner._train_step(
+            runner.params, runner.opt_state, jax.random.PRNGKey(0)
+        )
+        return float(loss), {k: float(v) for k, v in aux.items()}
+
+    def test_sample_pdf_draws_from_pdf(self):
+        from foundationpose_tpu.nerf.runner import sample_pdf
+
+        bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 9)[None], (4, 9))
+        w = np.zeros((4, 8), np.float32)
+        w[:, 6] = 1.0  # all mass in bin [0.75, 0.875]
+        z = np.asarray(
+            sample_pdf(bins, jnp.asarray(w), 16, jax.random.PRNGKey(0))
+        )
+        assert z.shape == (4, 16)
+        assert (z >= 0.7).all() and (z <= 0.9).all()
+
+    def test_sample_pdf_det_spread(self):
+        from foundationpose_tpu.nerf.runner import sample_pdf
+
+        bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 9)[None], (2, 9))
+        w = jnp.ones((2, 8))
+        z = np.asarray(
+            sample_pdf(bins, w, 8, jax.random.PRNGKey(0), perturb=False)
+        )
+        assert z[0].min() < 0.1 and z[0].max() > 0.85  # spans the range
+
+    def test_truncation_annealing(self):
+        import dataclasses
+
+        r = self._runner()
+        cfg_lin = dataclasses.replace(
+            r.cfg, trunc_decay_type="linear", trunc_start=0.05
+        )
+        r.cfg = cfg_lin
+        t0 = float(r._truncation(jnp.float32(0)))
+        tN = float(r._truncation(jnp.float32(cfg_lin.n_step)))
+        assert t0 > tN
+        np.testing.assert_allclose(t0, 0.05 * cfg_lin.sc_factor, rtol=1e-5)
+        np.testing.assert_allclose(tN, 0.01 * cfg_lin.sc_factor, rtol=1e-5)
+        r.cfg = dataclasses.replace(r.cfg, trunc_decay_type="exp")
+        te = float(r._truncation(jnp.float32(cfg_lin.n_step * 10)))
+        np.testing.assert_allclose(te, 0.01 * cfg_lin.sc_factor, rtol=1e-4)
+
+    def test_importance_sampling_runs(self):
+        r = self._runner(n_importance=8)
+        loss, aux = self._step(r)
+        assert np.isfinite(loss)
+        out = r._render_rays(
+            r.params,
+            {k: v[:16] for k, v in r.rays.items()},
+            jax.random.PRNGKey(1), r.occ, r.c2w,
+        )
+        assert out["sdf"].shape[-1] == 8 + 8 + 8  # uniform + depth + imp
+        # merged z stays sorted
+        z = np.asarray(out["z_vals"])
+        assert (np.diff(z, axis=-1) >= -1e-6).all()
+
+    def test_optional_losses_contribute(self):
+        base_loss, base_aux = self._step(self._runner())
+        for kw, key in (
+            (dict(depth_weight=1.0), "depth_loss"),
+            (dict(eikonal_weight=0.1), "eikonal_loss"),
+            (dict(fs_rgb_weight=0.5), "fs_rgb_loss"),
+        ):
+            loss, aux = self._step(self._runner(**kw))
+            assert key in aux, key
+            assert np.isfinite(aux[key]), key
+        assert "depth_loss" not in base_aux
+
+
 class TestArtifactDumps:
     def test_periodic_image_and_mesh(self, tmp_path):
         """train(artifact_dir=...) writes eval imagery + mesh snapshots at
