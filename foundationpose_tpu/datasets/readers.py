@@ -334,10 +334,23 @@ class LinemodOcclusionReader(BopBaseReader):
 
 class LinemodReader(LinemodOcclusionReader):
     def __init__(self, base_dir, zfar=np.inf, split=None):
+        """split: 'train'/'test' selects the Linemod_preprocessed frame
+        subset (datareader.py:400-410). The split files live under
+        $LINEMOD_PREPROCESSED_DIR/data/{video_id:02d}/{split}.txt (the
+        reference hardcodes its own absolute dataset root)."""
         super().__init__(base_dir, zfar=zfar)
         self.dataset_name = "lm"
         if split is not None:
-            raise NotImplementedError("LINEMOD preprocessed split files")
+            pre_dir = os.getenv("LINEMOD_PREPROCESSED_DIR", "")
+            split_file = (
+                f"{pre_dir}/data/{self.get_video_id():02d}/{split}.txt"
+            )
+            with open(split_file) as ff:
+                lines = ff.read().splitlines()
+            self.color_files = [
+                f"{self.base_dir}/rgb/{int(line):06d}.png" for line in lines
+            ]
+            self.make_id_strs()
         # Exclude bowl and mug (datareader.py:413).
         self.ob_ids = np.setdiff1d(np.arange(1, 16), np.array([7, 3])).tolist()
         self.load_symmetry_tfs()
@@ -366,7 +379,11 @@ class YcbVideoReader(BopBaseReader):
         self.ob_ids = np.arange(1, 22).astype(int).tolist()
         if YCB_VIDEO_DIR and os.path.isdir(f"{YCB_VIDEO_DIR}/models"):
             names = sorted(os.listdir(f"{YCB_VIDEO_DIR}/models/"))
-            self.ob_id_to_names = {ob: names[i] for i, ob in enumerate(self.ob_ids)}
+            self.ob_id_to_names = {
+                ob: names[i]
+                for i, ob in enumerate(self.ob_ids)
+                if i < len(names)
+            }
             self.name_to_ob_id = {v: k for k, v in self.ob_id_to_names.items()}
         if "BOP" not in self.base_dir:
             kf = f"{self.base_dir}/../../keyframe.txt"
@@ -399,6 +416,18 @@ class YcbVideoReader(BopBaseReader):
         return os.path.abspath(
             f"{self.base_dir}/../../ycbv_models/models/obj_{ob_id:06d}.ply"
         )
+
+    def get_gt_mesh(self, ob_id: int, get_posecnn_version=False) -> TriMesh:
+        """get_posecnn_version: the original YCB-Video (PoseCNN) mesh in
+        meters from $YCB_VIDEO_DIR/models/<name>/textured_simple.obj —
+        the coordinate/mesh convention PoseCNN-era baselines evaluate
+        against (datareader.py:489-505)."""
+        if get_posecnn_version:
+            name = self.ob_id_to_names[ob_id]
+            return load_mesh(
+                f"{YCB_VIDEO_DIR}/models/{name}/textured_simple.obj"
+            )
+        return super().get_gt_mesh(ob_id)
 
     def get_reconstructed_mesh(self, ob_id, ref_view_dir) -> TriMesh:
         return load_mesh(

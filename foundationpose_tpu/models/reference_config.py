@@ -70,17 +70,12 @@ def apply_reference_defaults(raw: dict, kind: str) -> dict:
 
 
 def _check_supported(cfg: dict, kind: str) -> None:
-    if cfg.get("use_normal"):
-        # Not usable in the reference's inference path either: the
-        # estimator always passes normal_map=None (estimater.py:183) and
-        # the predict forwards concat only rgb+xyz
-        # (predict_pose_refine.py:187-188), so a use_normal checkpoint
-        # would fail there too. Reject rather than invent semantics.
-        raise ValueError(f"{kind}: use_normal checkpoints are not supported")
-    if cfg["c_in"] != 6:
+    expected_c_in = 9 if cfg.get("use_normal") else 6
+    if cfg["c_in"] != expected_c_in:
         raise ValueError(
-            f"{kind}: unsupported c_in={cfg['c_in']} (expected 6 = rgb+xyz; "
-            "the released checkpoints use 6)"
+            f"{kind}: c_in={cfg['c_in']} inconsistent with "
+            f"use_normal={bool(cfg.get('use_normal'))} (expected "
+            f"{expected_c_in}; released checkpoints use 6 without normals)"
         )
     if cfg.get("use_mask"):
         raise ValueError(f"{kind}: use_mask checkpoints are not supported")
@@ -127,6 +122,7 @@ def refiner_cfg_from_reference(raw: dict, base=None):
         crop_ratio=float(cfg["crop_ratio"]),
         trans_rep=str(cfg["trans_rep"]),
         rot_rep=str(cfg["rot_rep"]),
+        use_normal=bool(cfg.get("use_normal")),
         normalize_xyz=bool(cfg["normalize_xyz"]),
         trans_normalizer=_trans_normalizer(
             cfg.get("trans_normalizer", base.trans_normalizer)
@@ -152,6 +148,7 @@ def scorer_cfg_from_reference(raw: dict, base=None):
         net=net,
         input_res=_input_res(cfg, base.input_res),
         crop_ratio=float(cfg["crop_ratio"]),
+        use_normal=bool(cfg.get("use_normal")),
         normalize_xyz=bool(cfg["normalize_xyz"]),
         mode="network",
     )

@@ -231,14 +231,20 @@ def _quad_slot_constants(cfg: HashGridCfg):
 
 
 def build_quad_table(embeddings: jax.Array, cfg: HashGridCfg) -> jax.Array:
-    """(total, C) -> (total, 4*C) rolled-copy quad table (per level)."""
+    """(total, C) -> (total, 4*C) bf16 rolled-copy quad table (per level).
+
+    bf16 rows: the gather is descriptor-cost-dominated but 32-byte f32
+    rows still fetch ~16% slower than 16-byte rows (measured on v5e);
+    fp16-grade table reads are standard NGP practice. Master params
+    stay f32 — only this per-step derived copy is narrowed."""
     res_np, sizes_np, offsets_np, _tot = cfg.level_tables()
+    emb16 = embeddings.astype(jnp.bfloat16)
     segs = []
     for l in range(cfg.n_levels):
         off = int(offsets_np[l])
         size = int(sizes_np[l])
         s = int(res_np[l]) + 1
-        t = jax.lax.dynamic_slice_in_dim(embeddings, off, size, 0)
+        t = jax.lax.dynamic_slice_in_dim(emb16, off, size, 0)
         segs.append(
             jnp.concatenate(
                 [
@@ -250,7 +256,7 @@ def build_quad_table(embeddings: jax.Array, cfg: HashGridCfg) -> jax.Array:
                 axis=1,
             )
         )
-    return jnp.concatenate(segs, axis=0)  # (total, 4C)
+    return jnp.concatenate(segs, axis=0)  # (total, 4C) bf16
 
 
 def _quad_corner_data(x: jax.Array, cfg: HashGridCfg):
@@ -296,10 +302,10 @@ def _quad_gather_reduce(quad, flat, fx, fy, wz, oob, cfg):
     N, L2 = flat.shape
     C = cfg.level_dim
     S_j = jnp.asarray(_quad_slot_constants(cfg)[6])
-    vals = quad[flat.reshape(-1)]  # (M2, 4C) row gather
+    vals = quad[flat.reshape(-1)]  # (M2, 4C) bf16 row gather
     planes = jnp.stack(
         [vals[:, p].reshape(N, L2) for p in range(4 * C)], axis=0
-    )  # (4C, N, L2): p = q * C + c, corner order [00, 10, 01, 11]
+    )  # (4C, N, L2) bf16: p = q * C + c, corner order [00, 10, 01, 11]
     wq = [
         (1.0 - fx) * (1.0 - fy),
         fx * (1.0 - fy),
@@ -310,7 +316,7 @@ def _quad_gather_reduce(quad, flat, fx, fy, wz, oob, cfg):
     for c in range(C):
         acc = jnp.zeros((N, L2), jnp.float32)
         for q in range(4):
-            acc = acc + wq[q] * planes[q * C + c]
+            acc = acc + wq[q] * planes[q * C + c].astype(jnp.float32)
         outs.append(
             jnp.dot(acc * wz, S_j, preferred_element_type=jnp.float32)
         )  # (N, L)
@@ -392,7 +398,7 @@ def _qencode_bwd_impl(cfg, table_size, x, planes, g):
     for q in range(4):
         acc = jnp.zeros_like(fx)
         for c in range(C):
-            acc = acc + planes[q * C + c] * g_slots[c]
+            acc = acc + planes[q * C + c].astype(jnp.float32) * g_slots[c]
         ve_g.append(acc)
     scale_slot = jnp.asarray(scales2)[None] / 2.0  # (1, L2)
     dfx = wz * ((1.0 - fy) * (ve_g[1] - ve_g[0]) + fy * (ve_g[3] - ve_g[2]))

@@ -41,19 +41,24 @@ _LANE = 128  # hardware lane width
 
 
 def _seg_add_kernel(
-    lo_ref, idx_ref, upd_ref, out_ref, idx_s, upd_s, sem, *,
+    lo_ref, idx0_ref, upd0_ref, idx_hbm, upd_hbm, out_ref,
+    idx_s, upd_s, sem, *,
     block, cdim, span,
 ):
     """lo_ref: scalar-prefetch (n_blocks+1,) int32 contribution bounds.
-    idx_ref: (1, Mp) int32 sorted indices (HBM, flat).
-    upd_ref: (2*cdim, Mp) bf16 sorted updates, hi/lo split (HBM, flat).
-    out_ref: (cdim, block) dense gradient block.
-    idx_s: VMEM (1, span) scratch; upd_s: VMEM (2*cdim, span); sem: DMA."""
+    idx0_ref/upd0_ref: the block's FIRST overlapping chunk, delivered by
+    a prefetch-driven BlockSpec — Mosaic double-buffers these across
+    grid steps, so the common one-chunk block pays no DMA latency.
+    idx_hbm (1, Mp) i32 / upd_hbm (2*cdim, Mp) bf16: full sorted flat
+    streams for the rare additional chunks (manual DMA into scratch).
+    out_ref: (cdim, block) dense gradient block."""
     b = pl.program_id(0)
     lo = lo_ref[b]
     hi = lo_ref[b + 1]
     base = b * block
-    c0 = lo // span
+    n_data_chunks = idx_hbm.shape[1] // span
+    c0 = jnp.minimum(lo // span, n_data_chunks - 1)  # match the
+    # BlockSpec clamp (lo == Mp when every update precedes this block)
     n_chunks = jnp.maximum((hi + span - 1) // span - c0, 0)
 
     e_col = (
@@ -61,34 +66,38 @@ def _seg_add_kernel(
     )  # (block, 1) table row ids of this block
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
 
+    def contribution(idx_vec, upd_vec, sc):
+        pos = sc * span + s_iota
+        valid = (pos >= lo) & (pos < hi)
+        oh = ((idx_vec == e_col) & valid).astype(
+            jnp.bfloat16
+        )  # (block, span), exactly representable
+        return jax.lax.dot_general(
+            upd_vec, oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,  # the session-wide
+            # float32 precision pin is incompatible with bf16 operands
+        )  # (2*cdim, block), one native bf16 MXU pass, f32 accumulate
+        # (a (block, 2C) orientation + per-block transpose measured
+        # slower: the relayout costs more than the 16-row passes save)
+
+    acc = contribution(idx0_ref[:], upd0_ref[:], c0)
+
     def body(ci, acc):
         sc = c0 + ci
         cp1 = pltpu.make_async_copy(
-            idx_ref.at[:, pl.ds(sc * span, span)], idx_s, sem.at[0]
+            idx_hbm.at[:, pl.ds(sc * span, span)], idx_s, sem.at[0]
         )
         cp2 = pltpu.make_async_copy(
-            upd_ref.at[:, pl.ds(sc * span, span)], upd_s, sem.at[1]
+            upd_hbm.at[:, pl.ds(sc * span, span)], upd_s, sem.at[1]
         )
         cp1.start()
         cp2.start()
         cp1.wait()
         cp2.wait()
-        pos = sc * span + s_iota
-        valid = (pos >= lo) & (pos < hi)
-        oh = ((idx_s[:] == e_col) & valid).astype(
-            jnp.bfloat16
-        )  # (block, span), exactly representable
-        contrib = jax.lax.dot_general(
-            upd_s[:], oh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,  # the session-wide
-            # float32 precision pin is incompatible with bf16 operands
-        )  # (2*cdim, block), one native bf16 MXU pass, f32 accumulate
-        return acc + contrib
+        return acc + contribution(idx_s[:], upd_s[:], sc)
 
-    acc = jax.lax.fori_loop(
-        0, n_chunks, body, jnp.zeros((2 * cdim, block), jnp.float32)
-    )
+    acc = jax.lax.fori_loop(1, jnp.maximum(n_chunks, 1), body, acc)
     # fold the hi/lo split: update = hi + lo to ~2^-16 relative
     out_ref[:, :] = acc[:cdim, :] + acc[cdim:, :]
 
@@ -146,12 +155,22 @@ def _segment_add_flat(
     bounds = jnp.arange(n_blocks + 1, dtype=jnp.int32) * block
     lo = jnp.searchsorted(idx_s, bounds, side="left").astype(jnp.int32)
 
+    n_data_chunks = idx_s.shape[0] // span
+
+    def chunk0_map(i, lo_ref):
+        # the block's first overlapping chunk, clamped like the kernel
+        return (0, jnp.minimum(lo_ref[i] // span, n_data_chunks - 1))
+
     out = pl.pallas_call(
         functools.partial(_seg_add_kernel, block=block, cdim=C, span=span),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_blocks,),
             in_specs=[
+                pl.BlockSpec((1, span), chunk0_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * C, span), chunk0_map,
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
@@ -170,7 +189,7 @@ def _segment_add_flat(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(lo, idx_s[None, :], upd_sorted)
+    )(lo, idx_s[None, :], upd_sorted, idx_s[None, :], upd_sorted)
     return out.T[:table_size]
 
 

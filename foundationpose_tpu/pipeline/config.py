@@ -38,6 +38,9 @@ class RefinerCfg:
     trans_normalizer: tuple[float, float, float] = (0.02, 0.02, 0.05)
     rot_normalizer: float = 0.34906585  # 20 degrees in radians
     xyz_invalid_z: float = 0.001  # PairH5Dataset threshold (h5_dataset.py:94)
+    # 3 extra raw normal channels on A/B (c_in=9 nets; predict_score.py
+    # :190-193 concat semantics). Released checkpoints use False.
+    use_normal: bool = False
     compute_dtype: str = "bfloat16"
     raster: RasterCfg = dataclasses.field(default_factory=RasterCfg)
 
@@ -49,6 +52,7 @@ class ScorerCfg:
     crop_ratio: float = 1.2
     normalize_xyz: bool = True
     xyz_invalid_z: float = 0.1  # TripletH5Dataset threshold (h5_dataset.py:151)
+    use_normal: bool = False  # see RefinerCfg.use_normal
     # "auto": network when scorer weights are provided, classical depth
     # alignment otherwise; or force "network" / "depth".
     mode: str = "auto"

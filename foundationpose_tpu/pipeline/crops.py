@@ -33,9 +33,15 @@ def make_crop_inputs(
     normalize_xyz: bool,
     invalid_z: float,
     use_light: bool = True,
+    use_normal: bool = False,
     raster=None,
 ):
-    """Returns (A, B, tf_to_crops): A/B are (N, res, res, 6) f32."""
+    """Returns (A, B, tf_to_crops): A/B are (N, res, res, 6) f32 — or
+    (N, res, res, 9) with use_normal (3 raw camera-space normal channels
+    appended, matching predict_score.py:190-193's post-transform concat;
+    observation normals come from xyz-map finite differences — the
+    reference's inference path never wires a normal source at all,
+    estimater.py:183)."""
     res = int(input_res)
     tf_to_crops = compute_crop_window_tf(
         poses, K, crop_ratio, res, mesh_diameter
@@ -63,6 +69,7 @@ def make_crop_inputs(
         tex=mesh.tex,
         vnormals=mesh.vnormals,
         use_light=use_light,
+        get_normal=use_normal,
         **raster_kw,
     )
     rgb_a = rend.color  # (N, res, res, 3) [0,1]
@@ -71,6 +78,11 @@ def make_crop_inputs(
     # Crop tfs are axis-aligned -> separable MXU warp (ops/warp.py).
     rgb_b = warp_crop(rgb, tf_to_crops, (res, res), mode="bilinear")
     xyz_b = warp_crop(xyz_map, tf_to_crops, (res, res), mode="nearest")
+    if use_normal:
+        normal_b = warp_crop(
+            normals_from_xyz(xyz_map), tf_to_crops, (res, res),
+            mode="nearest",
+        )
 
     t = poses[:, :3, 3][:, None, None, :]  # (N, 1, 1, 3)
 
@@ -85,6 +97,32 @@ def make_crop_inputs(
             out = jnp.where(invalid, 0.0, out)
         return out
 
-    a = jnp.concatenate([rgb_a, center(xyz_a, invalid_z)], axis=-1)
-    b = jnp.concatenate([rgb_b, center(xyz_b, invalid_z)], axis=-1)
+    a_cols = [rgb_a, center(xyz_a, invalid_z)]
+    b_cols = [rgb_b, center(xyz_b, invalid_z)]
+    if use_normal:
+        a_cols.append(rend.normal)
+        b_cols.append(normal_b)
+    a = jnp.concatenate(a_cols, axis=-1)
+    b = jnp.concatenate(b_cols, axis=-1)
     return a, b, tf_to_crops
+
+
+def normals_from_xyz(xyz_map: jax.Array) -> jax.Array:
+    """Camera-space surface normals from an observation XYZ map via
+    central differences; zero where depth is invalid, oriented toward
+    the camera (n . p <= 0)."""
+    valid = xyz_map[..., 2] > 1e-6
+    dx = jnp.zeros_like(xyz_map)
+    dx = dx.at[:, 1:-1].set(xyz_map[:, 2:] - xyz_map[:, :-2])
+    dy = jnp.zeros_like(xyz_map)
+    dy = dy.at[1:-1].set(xyz_map[2:] - xyz_map[:-2])
+    n = jnp.cross(dx, dy)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    flip = jnp.sum(n * xyz_map, axis=-1, keepdims=True) > 0
+    n = jnp.where(flip, -n, n)
+    ok = (
+        valid
+        & jnp.roll(valid, 1, 0) & jnp.roll(valid, -1, 0)
+        & jnp.roll(valid, 1, 1) & jnp.roll(valid, -1, 1)
+    )
+    return jnp.where(ok[..., None], n, 0.0)

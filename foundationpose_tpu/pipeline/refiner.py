@@ -97,6 +97,7 @@ def refine_poses(
             crop_ratio=cfg.crop_ratio,
             normalize_xyz=cfg.normalize_xyz,
             invalid_z=cfg.xyz_invalid_z,
+            use_normal=cfg.use_normal,
             raster=cfg.raster,
         )
         out = apply_refine_net(params, cfg.net, a, b, dtype=dtype)

@@ -64,6 +64,7 @@ def score_poses(
         crop_ratio=cfg.crop_ratio,
         normalize_xyz=cfg.normalize_xyz,
         invalid_z=cfg.xyz_invalid_z,
+        use_normal=cfg.use_normal,
         raster=cfg.raster,
     )
     if cfg.mode == "depth":

@@ -298,3 +298,50 @@ class TestRefinerStep:
         # rotation block stays orthonormal
         RtR = np.einsum("nij,nik->njk", out[:, :3, :3], out[:, :3, :3])
         np.testing.assert_allclose(RtR, np.tile(np.eye(3), (2, 1, 1)), atol=1e-4)
+
+
+class TestUseNormalChannels:
+    def test_crops_have_9_channels_and_refine_runs(self):
+        """use_normal appends raw camera-space normals as channels 7-9
+        (predict_score.py:190-193) on BOTH the render and observation
+        sides; a c_in=9 refiner consumes them."""
+        from foundationpose_tpu.geometry.projection import depth_to_xyz_map
+        from foundationpose_tpu.pipeline.crops import make_crop_inputs
+
+        mesh = colored_box()
+        gt = np.eye(4, dtype=np.float32)
+        gt[:3, 3] = [0.0, 0.0, 0.6]
+        rgb, depth, _ = synth_frame(mesh, gt)
+        mt = make_mesh_tensors(mesh)
+        xyz = depth_to_xyz_map(jnp.asarray(depth), jnp.asarray(K))
+        poses = jnp.asarray(np.tile(gt[None], (4, 1, 1)))
+
+        a, b, _tf = make_crop_inputs(
+            mt, poses, jnp.asarray(K),
+            jnp.asarray(rgb.astype(np.float32) / 255), xyz,
+            jnp.float32(0.2), input_res=64, crop_ratio=1.2,
+            normalize_xyz=True, invalid_z=0.001, use_normal=True,
+        )
+        assert a.shape[-1] == 9 and b.shape[-1] == 9
+        # rendered normals are unit-ish inside the mask, zero outside
+        na = np.asarray(a[..., 6:9])
+        norms = np.linalg.norm(na, axis=-1)
+        assert norms.max() < 1.01
+        assert (norms > 0.9).sum() > 100
+        # observation normals face the camera on a front-facing box
+        nb = np.asarray(b[..., 6:9])
+        inside = np.linalg.norm(nb, axis=-1) > 0.5
+        assert inside.sum() > 100
+        assert (nb[..., 2][inside] < 0).mean() > 0.9
+
+        cfg = RefinerCfg(
+            net=RefineNetCfg(base_width=4, c_in=9), input_res=64,
+            use_normal=True,
+        )
+        params = init_refine_net(jax.random.PRNGKey(0), cfg.net)
+        refined = refine_poses(
+            params, cfg, mt, poses, jnp.asarray(K),
+            jnp.asarray(rgb.astype(np.float32) / 255), xyz,
+            jnp.float32(0.2), iterations=1,
+        )
+        assert np.isfinite(np.asarray(refined)).all()

@@ -138,6 +138,121 @@ class TestTudlReader:
         assert max(errs) < 0.06
 
 
+@pytest.fixture(scope="module")
+def linemod_scene(tmp_path_factory):
+    """Minimal lm layout: lm_test_all/test/000001 + lm_models/models +
+    a Linemod_preprocessed split dir."""
+    root = tmp_path_factory.mktemp("lm_root")
+    base = root / "lm_test_all" / "test" / "000001"
+    models = root / "lm_models" / "models"
+    os.makedirs(base / "rgb")
+    os.makedirs(models)
+
+    box = make_box(np.array([0.08, 0.1, 0.12]))
+    mm = box.copy()
+    mm.vertices = mm.vertices * 1000.0
+    ob_ids = np.setdiff1d(np.arange(1, 16), [7, 3]).tolist()
+    for ob in ob_ids:
+        export_ply(mm, str(models / f"obj_{ob:06d}.ply"))
+    with open(models / "models_info.json", "w") as f:
+        json.dump({str(i): {"diameter": 100.0} for i in range(1, 16)}, f)
+
+    import imageio.v2 as imageio
+
+    scene_camera = {}
+    for i in range(4):
+        imageio.imwrite(
+            str(base / "rgb" / f"{i:06d}.png"),
+            np.zeros((H, W, 3), np.uint8),
+        )
+        scene_camera[str(i)] = {"cam_K": K.flatten().tolist(), "depth_scale": 1.0}
+    with open(base / "scene_camera.json", "w") as f:
+        json.dump(scene_camera, f)
+
+    pre = root / "Linemod_preprocessed"
+    os.makedirs(pre / "data" / "01")
+    with open(pre / "data" / "01" / "train.txt", "w") as f:
+        f.write("0\n2\n")
+    return str(base), str(pre)
+
+
+class TestLinemodReader:
+    def test_no_split_uses_all_frames(self, linemod_scene):
+        from foundationpose_tpu.datasets import LinemodReader
+
+        base, _ = linemod_scene
+        r = LinemodReader(base)
+        assert len(r) == 4
+        assert 3 not in r.ob_ids and 7 not in r.ob_ids
+
+    def test_preprocessed_split_filters_frames(self, linemod_scene, monkeypatch):
+        """split='train' keeps only the frames listed in the
+        Linemod_preprocessed split file (datareader.py:400-410)."""
+        import foundationpose_tpu.datasets.readers  # noqa: F401
+        from foundationpose_tpu.datasets import LinemodReader
+
+        base, pre = linemod_scene
+        monkeypatch.setenv("LINEMOD_PREPROCESSED_DIR", pre)
+        r = LinemodReader(base, split="train")
+        assert len(r) == 2
+        assert r.id_strs == ["000000", "000002"]
+
+
+class TestPosecnnMesh:
+    def test_get_posecnn_version(self, tmp_path, monkeypatch):
+        """YcbVideoReader.get_gt_mesh(get_posecnn_version=True) loads the
+        original YCB-Video obj in meters (datareader.py:489-505)."""
+        import imageio.v2 as imageio
+
+        import foundationpose_tpu.datasets.readers as readers_mod
+        from foundationpose_tpu.meshio import export_obj
+
+        # PoseCNN-era models dir
+        ycb_dir = tmp_path / "ycb"
+        os.makedirs(ycb_dir / "models" / "002_master_chef_can")
+        box_pc = make_box(np.array([0.05, 0.05, 0.14]))
+        export_obj(
+            box_pc,
+            str(ycb_dir / "models" / "002_master_chef_can" /
+                "textured_simple.obj"),
+        )
+        monkeypatch.setattr(readers_mod, "YCB_VIDEO_DIR", str(ycb_dir))
+
+        # minimal ycbv-layout scene: <scene>/{rgb,scene_camera.json} with
+        # ycbv_models two levels up
+        base = tmp_path / "ycbv" / "test" / "000001"
+        models = tmp_path / "ycbv" / "ycbv_models" / "models"
+        os.makedirs(base / "rgb")
+        os.makedirs(models)
+        imageio.imwrite(
+            str(base / "rgb" / "000000.png"), np.zeros((H, W, 3), np.uint8)
+        )
+        with open(base / "scene_camera.json", "w") as f:
+            json.dump(
+                {"0": {"cam_K": K.flatten().tolist(), "depth_scale": 1.0}}, f
+            )
+        box_bop = make_box(np.array([0.08, 0.1, 0.12]))
+        mm = box_bop.copy()
+        mm.vertices = mm.vertices * 1000.0
+        for ob in range(1, 22):
+            export_ply(mm, str(models / f"obj_{ob:06d}.ply"))
+        with open(models / "models_info.json", "w") as f:
+            json.dump({str(i): {"diameter": 100.0} for i in range(1, 22)}, f)
+
+        r = readers_mod.YcbVideoReader(str(base))
+        r.ob_id_to_names = {1: "002_master_chef_can"}
+        mesh = r.get_gt_mesh(1, get_posecnn_version=True)
+        np.testing.assert_allclose(
+            mesh.bounds()[1] - mesh.bounds()[0], [0.05, 0.05, 0.14], atol=1e-5
+        )
+        # default path still returns the BOP (mm -> m) model
+        mesh_bop = r.get_gt_mesh(1)
+        np.testing.assert_allclose(
+            mesh_bop.bounds()[1] - mesh_bop.bounds()[0],
+            [0.08, 0.1, 0.12], atol=1e-5,
+        )
+
+
 class TestH5Datasets:
     def _make_h5(self, path):
         import h5py

@@ -98,8 +98,11 @@ class TestTypedMapping:
         with pytest.raises(ValueError, match="c_in"):
             scorer_cfg_from_reference({"c_in": 9})
 
-    def test_use_normal_rejected(self):
-        with pytest.raises(ValueError, match="use_normal"):
+    def test_use_normal_maps_to_9_channels(self):
+        cfg = refiner_cfg_from_reference({"c_in": 9, "use_normal": True})
+        assert cfg.use_normal and cfg.net.c_in == 9
+        # inconsistent c_in/use_normal pairs still rejected
+        with pytest.raises(ValueError, match="c_in"):
             refiner_cfg_from_reference({"c_in": 6, "use_normal": True})
 
 
