@@ -64,7 +64,10 @@ def delta_targets(poseA, poseB, cfg: RefinerCfg, mesh_diameter):
     return trans_t, rot_t
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n", "frame_hw"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n", "frame_hw", "rot_sigma", "trans_sigma"),
+)
 def make_refiner_batch(
     key: jax.Array,
     mesh: MeshTensors,
@@ -73,14 +76,20 @@ def make_refiner_batch(
     mesh_diameter: jax.Array,
     n: int = 16,
     frame_hw: tuple[int, int] = (480, 640),
+    rot_sigma: float = 0.15,
+    trans_sigma: float = 0.01,
 ):
     """Fully on-device synthetic refiner batch: renders the observation
     (gt pose) and the hypothesis (perturbed pose) crops and returns
-    {'A','B','trans_target','rot_target'}."""
+    {'A','B','trans_target','rot_target'}. rot/trans_sigma set the
+    perturbation scale — train with ~half the rotation-grid spacing to
+    give registration hypotheses a wide convergence basin."""
     from ..ops.rasterizer import render_mesh
 
     k1, k2 = jax.random.split(key)
-    poseA, poseB = sample_pose_pairs(k1, n)
+    poseA, poseB = sample_pose_pairs(
+        k1, n, rot_sigma=rot_sigma, trans_sigma=trans_sigma
+    )
     poseA = poseA.astype(jnp.float32)
     poseB = poseB.astype(jnp.float32)
 
@@ -124,3 +133,67 @@ def make_refiner_batch(
         "poseA": poseA,
         "poseB": poseB,
     }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n", "frame_hw", "rot_sigma", "trans_sigma")
+)
+def make_scorer_batch(
+    key: jax.Array,
+    mesh: MeshTensors,
+    K: jax.Array,
+    cfg,  # ScorerCfg
+    mesh_diameter: jax.Array,
+    n: int = 16,
+    frame_hw: tuple[int, int] = (120, 160),
+    rot_sigma: float = 1.2,
+    trans_sigma: float = 0.03,
+    scene_key: jax.Array | None = None,
+):
+    """One hypothesis GROUP around one gt pose for contrastive scorer
+    training (training.score_loss_fn): the observation frame is rendered
+    at gt, the n hypotheses carry graded perturbations (first ~exact, the
+    last registration-grid-scale rotations), and 'target' holds
+    ADD-derived soft logits (-ADD / 0.05 d). scene_key pins the gt pose
+    (fixed-scene training) while `key` varies the perturbations."""
+    from ..ops.rasterizer import render_mesh
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    if scene_key is not None:
+        k1 = scene_key
+    _, poseB1 = sample_pose_pairs(k1, 1)
+    gt = poseB1[0].astype(jnp.float32)
+
+    scales = jnp.linspace(0.0, 1.0, n)[:, None]
+    dw = jax.random.normal(k2, (n, 3)) * rot_sigma * scales
+    dt = jax.random.normal(k3, (n, 3)) * trans_sigma * scales
+    dR = so3_exp_map(dw)
+    hyp = (
+        jnp.broadcast_to(jnp.eye(4), (n, 4, 4))
+        .at[:, :3, :3].set(dR @ gt[:3, :3])
+        .at[:, :3, 3].set(gt[:3, 3] + dt)
+        .astype(jnp.float32)
+    )
+
+    out = render_mesh(
+        mesh.pos, mesh.faces, gt[None], K, out_hw=frame_hw,
+        vertex_color=mesh.vertex_color, uv=mesh.uv, tex=mesh.tex,
+        vnormals=mesh.vnormals, use_light=True,
+        method=cfg.raster.method, tile=cfg.raster.tile,
+        max_faces_per_tile=cfg.raster.max_faces_per_tile,
+        cull_backfaces=cfg.raster.cull_backfaces,
+        pose_block=cfg.raster.pose_block,
+    )
+    a, b, _tf = make_crop_inputs(
+        mesh, hyp, K, out.color[0], out.xyz[0], mesh_diameter,
+        input_res=cfg.input_res, crop_ratio=cfg.crop_ratio,
+        normalize_xyz=cfg.normalize_xyz, invalid_z=cfg.xyz_invalid_z,
+        use_normal=cfg.use_normal, raster=cfg.raster,
+    )
+
+    pts_h = jnp.einsum("nij,pj->npi", hyp[:, :3, :3], mesh.pos) + hyp[:, None, :3, 3]
+    pts_g = mesh.pos @ gt[:3, :3].T + gt[:3, 3]
+    add = jnp.linalg.norm(pts_h - pts_g[None], axis=-1).mean(axis=-1)
+    target = -add / (0.05 * jnp.asarray(mesh_diameter))
+    return {"A": a, "B": b, "target": target, "poses": hyp, "gt": gt,
+            "add": add}

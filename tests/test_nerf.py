@@ -236,6 +236,7 @@ class TestOctreeCloudDenoise:
         assert r._denoise_dropped == 0
 
 
+@pytest.mark.slow
 class TestOptionalNerfPaths:
     """Reference-carried options that ship OFF (config_ycbv.yml:20-21,
     66-71,75,84): hierarchical sampling, truncation annealing, depth /

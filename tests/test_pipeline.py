@@ -84,6 +84,7 @@ def est():
     return FoundationPose(mesh=mesh, cfg=cfg, refiner_params=refiner_params)
 
 
+@pytest.mark.slow
 class TestRegister:
     def test_register_recovers_pose(self, est):
         gt = np.eye(4)
@@ -140,6 +141,7 @@ class TestRegister:
         assert (np.diff(s[np.isfinite(s)]) <= 1e-6).all()
 
 
+@pytest.mark.slow
 class TestTrack:
     def test_track_after_register(self, est):
         gt = np.eye(4)

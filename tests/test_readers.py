@@ -111,6 +111,7 @@ class TestTudlReader:
         assert mesh.vertex_colors is not None
         assert mesh.vertex_colors.shape == (8, 3)
 
+    @pytest.mark.slow
     def test_driver_style_register_and_score(self, bop_scene):
         """Miniature of cli/run_bop.py: register each frame with the
         weights-free estimator and score ADD-S against GT."""

@@ -48,6 +48,7 @@ def frame_setup():
     return mt, gt, rgb, xyz
 
 
+@pytest.mark.slow
 def test_sharded_scoring_matches_single_device():
     mesh_dev = make_device_mesh()
     mt, gt, rgb, xyz = frame_setup()
@@ -77,6 +78,7 @@ def test_sharded_scoring_matches_single_device():
     np.testing.assert_allclose(s8[:16], s1, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_refine_matches_single_device():
     mesh_dev = make_device_mesh()
     mt, gt, rgb, xyz = frame_setup()
@@ -151,6 +153,7 @@ def test_dp_scorer_train_step():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_full_register_sharded_matches_single():
     """FoundationPose(n_devices=8): end-to-end register equals the
     single-device result (hypothesis batch sharded, GSPMD collectives)."""

@@ -3,6 +3,7 @@ parameterization, and a few refiner train steps reduce the loss."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from foundationpose_tpu.datasets.synthetic import (
     sample_pose_pairs,
@@ -69,6 +70,7 @@ class TestRefinerTraining:
         assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 class TestRefinerLearnsToRefine:
     def test_trained_refiner_reduces_pose_error(self):
         """End-to-end trainability proof: a small refiner trained on
@@ -131,3 +133,124 @@ class TestRefinerLearnsToRefine:
             errs_after.append(add_err(np.asarray(refined[0]), gt, pts))
         # Trained refinement must help on average.
         assert np.mean(errs_after) < np.mean(errs_before)
+
+
+@pytest.mark.slow
+class TestTrainedNetworkRegistration:
+    def test_network_scored_registration_beats_depth(self):
+        """VERDICT #4: train a tiny refiner AND scorer on synthetic data,
+        then prove full register() in mode='network' (a) ranks correctly
+        on held-out hypothesis groups, (b) picks a top refined hypothesis,
+        and (c) beats the classical depth scorer end-to-end on the same
+        frame (reference oracle: SURVEY.md §4 self-consistency).
+
+        Calibration (measured on this synthetic box): the raw 252-pose
+        grid's best hypothesis is ~9 cm ADD (translation starts at the
+        median-depth guess with its front-surface z bias); the tiny
+        8-width/64px refiner plateaus at ~4 cm — so the pass bars are
+        6 cm absolute and <= depth-scorer, not the full-size nets' cm
+        regime. The refiner trains with rot_sigma ~half the grid spacing
+        and trans_sigma at guess-error scale so registration hypotheses
+        are in-distribution."""
+        import dataclasses
+
+        from foundationpose_tpu.datasets.synthetic import (
+            make_refiner_batch, make_scorer_batch,
+        )
+        from foundationpose_tpu.models.networks import (
+            ScoreNetCfg, apply_score_net, init_score_net,
+        )
+        from foundationpose_tpu.models.training import score_train_step
+        from foundationpose_tpu.pipeline import (
+            EstimatorCfg, ScorerCfg, FoundationPose,
+        )
+        from foundationpose_tpu.utils.metrics import adds_err
+        from tests.test_pipeline import synth_frame
+
+        mesh = colored_box()
+        mt = make_mesh_tensors(mesh)
+        Kj = jnp.asarray(K)
+        diameter = jnp.float32(0.28)
+
+        rcfg = RefinerCfg(
+            net=RefineNetCfg(base_width=8), compute_dtype="float32",
+            input_res=64,
+        )
+        rparams = init_refine_net(jax.random.PRNGKey(7), rcfg.net)
+        tcfg = TrainCfg(lr=1e-3, compute_dtype="float32")
+        opt_state = make_optimizer(tcfg).init(rparams)
+        for step in range(250):
+            batch = make_refiner_batch(
+                jax.random.PRNGKey(100 + step), mt, Kj, rcfg, diameter,
+                n=16, frame_hw=(120, 160), rot_sigma=0.25, trans_sigma=0.05,
+            )
+            tb = {k: batch[k] for k in ("A", "B", "trans_target", "rot_target")}
+            rparams, opt_state, rloss = refine_train_step(
+                rparams, opt_state, rcfg.net, tcfg, tb
+            )
+        assert np.isfinite(float(rloss))
+
+        # Fixed-scene scorer training: the gt pose is pinned, each step
+        # draws fresh graded perturbations (up to grid-scale rotations).
+        scene_key = jax.random.PRNGKey(42)
+        scfg = ScorerCfg(
+            net=ScoreNetCfg(base_width=8), input_res=64, mode="network",
+            compute_dtype="float32",
+        )
+        sparams = init_score_net(jax.random.PRNGKey(8), scfg.net)
+        stcfg = TrainCfg(lr=3e-4, compute_dtype="float32")
+        sopt = make_optimizer(stcfg).init(sparams)
+        slosses = []
+        for step in range(250):
+            sb = make_scorer_batch(
+                jax.random.PRNGKey(5000 + step), mt, Kj, scfg, diameter,
+                n=16, frame_hw=(240, 320), scene_key=scene_key,
+            )
+            sparams, sopt, sloss = score_train_step(
+                sparams, sopt, scfg.net, stcfg,
+                {k: sb[k] for k in ("A", "B", "target")},
+            )
+            slosses.append(float(sloss))
+        assert np.mean(slosses[-20:]) < np.mean(slosses[:20]) - 0.15
+
+        # (a) held-out ranking: the scorer's top pick has the lowest ADD
+        # in a fresh hypothesis group and correlates with -ADD.
+        sb = make_scorer_batch(
+            jax.random.PRNGKey(777), mt, Kj, scfg, diameter,
+            n=16, frame_hw=(240, 320), scene_key=scene_key,
+        )
+        logits = np.asarray(
+            apply_score_net(sparams, scfg.net, sb["A"], sb["B"],
+                            dtype=jnp.float32)
+        )
+        adds = np.asarray(sb["add"])
+        assert adds[np.argmax(logits)] <= np.partition(adds, 2)[2]
+        assert np.corrcoef(logits, -adds)[0, 1] > 0.5
+
+        # (b)+(c) full registration, network vs depth scorer.
+        sb2 = make_scorer_batch(
+            jax.random.PRNGKey(77), mt, Kj, scfg, diameter,
+            n=16, frame_hw=(240, 320), scene_key=scene_key,
+        )
+        gt = np.asarray(sb2["gt"], np.float32)
+        rgb, depth, mask = synth_frame(mesh, gt)
+
+        def run(mode, sp):
+            cfg = EstimatorCfg(
+                refiner=rcfg, scorer=dataclasses.replace(scfg, mode=mode)
+            )
+            est = FoundationPose(
+                mesh=mesh, cfg=cfg, refiner_params=rparams, scorer_params=sp
+            )
+            est.gt_pose = gt
+            pose = est.register(K, rgb, depth, mask, iteration=5)
+            errs = est.compute_add_err_to_gt_pose(np.asarray(est.poses))
+            best_rank = int(np.where(np.argsort(errs) == 0)[0][0])
+            return adds_err(pose, gt, mesh.vertices), best_rank
+
+        err_net, rank_net = run("network", sparams)
+        err_depth, _ = run("depth", None)
+        assert err_net < 0.06, f"network-scored ADD-S {err_net}"
+        assert err_net <= err_depth + 0.005, (err_net, err_depth)
+        # the network put a near-best refined hypothesis on top
+        assert rank_net <= 3, rank_net
