@@ -342,9 +342,20 @@ class LinemodReader(LinemodOcclusionReader):
         self.dataset_name = "lm"
         if split is not None:
             pre_dir = os.getenv("LINEMOD_PREPROCESSED_DIR", "")
+            if not pre_dir:
+                raise RuntimeError(
+                    "LinemodReader(split=...) needs the Linemod_preprocessed "
+                    "root: set the LINEMOD_PREPROCESSED_DIR environment "
+                    "variable to the directory containing data/{id}/train.txt"
+                )
             split_file = (
                 f"{pre_dir}/data/{self.get_video_id():02d}/{split}.txt"
             )
+            if not os.path.isfile(split_file):
+                raise FileNotFoundError(
+                    f"Linemod split file not found: {split_file} "
+                    "(check LINEMOD_PREPROCESSED_DIR)"
+                )
             with open(split_file) as ff:
                 lines = ff.read().splitlines()
             self.color_files = [

@@ -79,6 +79,14 @@ def _check_supported(cfg: dict, kind: str) -> None:
         )
     if cfg.get("use_mask"):
         raise ValueError(f"{kind}: use_mask checkpoints are not supported")
+    if cfg.get("use_normal") and cfg.get("normal_uint8"):
+        # normal_uint8 changes the normal-channel scaling at train time;
+        # silently running such weights with float normals would be
+        # wrong, so refuse loudly until the scaling is implemented.
+        raise ValueError(
+            f"{kind}: normal_uint8 checkpoints are not supported "
+            "(normal channels would be wrongly scaled)"
+        )
     if kind == "refiner" and cfg.get("n_view", 1) != 1:
         raise ValueError(f"refiner: n_view={cfg['n_view']} not supported")
 

@@ -77,6 +77,11 @@ class NerfCfg:
     tex_res: int = 1024
     rays_valid_depth_only: bool = True
     dilate_mask_size: int = 0
+    # Frame 0's mask is assumed perfect; the reference dilates it with a
+    # 100 px kernel and keeps the ring's (BAD_DEPTH) rays as free-space
+    # supervision (nerf_runner.py:276-286). Later frames use
+    # dilate_mask_size (the reference hardcodes 60//down_scale_ratio).
+    first_frame_dilate: int = 100
 
     # scene normalization (filled at runtime like the reference's
     # cfg['sc_factor']/cfg['translation'], run_nerf.py:32-33)

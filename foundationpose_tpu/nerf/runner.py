@@ -135,7 +135,12 @@ class NerfRunner:
                 else (depths[i] != BAD_DEPTH * cfg.sc_factor),
                 self.K,
                 i,
-                dilate=cfg.dilate_mask_size,
+                # Frame 0's (assumed-perfect) mask gets the big dilation;
+                # its BAD_DEPTH ring rays supervise free space
+                # (nerf_runner.py:276-286).
+                dilate=(
+                    cfg.first_frame_dilate if i == 0 else cfg.dilate_mask_size
+                ),
             )
             for i in range(self.n_frames)
         ]
@@ -514,11 +519,17 @@ class NerfRunner:
         artifact_dir: str | None = None,
         i_img: int = 500,
         i_mesh: int = 500,
+        i_pose: int = 500,
+        metric_sink=None,
     ):
         """Train loop with optional periodic orbax checkpoints
         (cadence like nerf_runner.py:593-594; resume via .resume()) and
-        periodic image/mesh artifact dumps (the reference's i_img/i_mesh
-        observability, nerf_runner.py:596-680)."""
+        periodic image/mesh/pose artifact dumps (the reference's
+        i_img/i_mesh/i_pose observability, nerf_runner.py:596-680).
+
+        metric_sink: optional callable(step, {name: float}) — the
+        counterpart of the reference's sacred `_run.log_scalar` hook
+        (nerf_runner.py:648-650), called at the logging cadence."""
         key = jax.random.PRNGKey(seed)
         n = self.cfg.n_step + 1
         for it in range(self.global_step, n):
@@ -535,17 +546,33 @@ class NerfRunner:
                     float(aux["sdf_loss"]), float(aux["fs_loss"]),
                     float(aux["empty_loss"]),
                 )
+                if metric_sink is not None:
+                    scalars = {"loss": float(loss)}
+                    scalars.update({k: float(v) for k, v in aux.items()})
+                    metric_sink(it, scalars)
             if ckpt_dir is not None and it > 0 and it % i_weights == 0:
                 self.save_weights(ckpt_dir)
             if artifact_dir is not None and it > 0:
-                self._dump_artifacts(artifact_dir, it, i_img, i_mesh)
+                self._dump_artifacts(artifact_dir, it, i_img, i_mesh, i_pose)
         if ckpt_dir is not None:
             self.save_weights(ckpt_dir)
 
-    def _dump_artifacts(self, artifact_dir: str, it: int, i_img: int, i_mesh: int):
-        """Periodic eval imagery + mesh snapshots (nerf_runner.py:596-680)."""
+    def _dump_artifacts(
+        self, artifact_dir: str, it: int, i_img: int, i_mesh: int,
+        i_pose: int = 0,
+    ):
+        """Periodic eval imagery + mesh + pose snapshots
+        (nerf_runner.py:596-680)."""
         import os
 
+        if i_pose > 0 and it % i_pose == 0:
+            # Optimized per-frame cam_in_ob poses in real-world units
+            # (the reference's i_pose dump, nerf_runner.py:652-656).
+            os.makedirs(f"{artifact_dir}/pose", exist_ok=True)
+            np.save(
+                f"{artifact_dir}/pose/step_{it:07d}.npy",
+                self.get_optimized_poses_in_real_world(),
+            )
         if i_img > 0 and it % i_img == 0:
             import imageio.v2 as imageio
 

@@ -58,8 +58,9 @@ class RenderOutput(NamedTuple):
     xyz: jax.Array  # (N, H, W, 3) camera-space position map, 0 at background
     normal: jax.Array | None  # (N, H, W, 3) or None
     mask: jax.Array  # (N, H, W) bool foreground
-    # method='pallas' only: faces dropped per (pose, tile) by the
-    # rounds*K per-tile capacity; None for other methods. Check with
+    # methods 'pallas' and 'binned': faces dropped per (pose, tile) by
+    # the per-tile capacity (rounds*K for pallas, max_faces_per_tile for
+    # binned); None for 'brute' (exact). Check with
     # `assert not out.overflow.any()` when forcing a binned method on
     # a dense mesh.
     overflow: jax.Array | None = None
@@ -166,10 +167,12 @@ def _rasterize_brute(xy_f, z_f, valid_f, pix_u, pix_v, face_chunk):
 def _bin_face_records(xy_f, z_f, valid_f, tri_attr, H, W, tile, K):
     """Bin faces to tiles and gather packed per-slot records for ONE pose.
 
-    Returns rec_t (T, K, 13 + 3*Da): [edge coeffs(10) | zinv(3) |
-    vertex attrs(3*Da)] per tile slot; empty slots have ok=0.
-    Overflowing tiles drop the highest-index faces (raise K for very
-    dense meshes).
+    Returns (rec_t, overflow): rec_t (T, K, 13 + 3*Da) =
+    [edge coeffs(10) | zinv(3) | vertex attrs(3*Da)] per tile slot
+    (empty slots have ok=0); overflow (T,) int32 = faces dropped per
+    tile. Overflowing tiles drop the highest-index faces (raise K for
+    very dense meshes); callers must surface `overflow` so forced-binned
+    renders of dense meshes report instead of silently losing geometry.
     """
     F = xy_f.shape[0]
     Da = tri_attr.shape[-1]
@@ -196,6 +199,9 @@ def _bin_face_records(xy_f, z_f, valid_f, tri_attr, H, W, tile, K):
     top_keys, _ = jax.lax.top_k(keys, K)  # (T, K)
     slot_face = F - top_keys  # (T, K); == F where empty
     slot_valid = top_keys > 0
+    overflow = jnp.maximum(
+        jnp.sum(mask, axis=1).astype(jnp.int32) - K, 0
+    )  # (T,)
 
     # one packed record per face: [coeffs(10) | zinv(3) | attrs(3*Da)]
     rec = jnp.concatenate(
@@ -204,7 +210,7 @@ def _bin_face_records(xy_f, z_f, valid_f, tri_attr, H, W, tile, K):
     rec = jnp.concatenate([rec, jnp.zeros((1, rec.shape[1]), rec.dtype)], axis=0)
     rec_t = rec[slot_face]  # (T, K, D)
     rec_t = rec_t.at[..., 9].set(jnp.where(slot_valid, rec_t[..., 9], 0.0))
-    return rec_t
+    return rec_t, overflow
 
 
 def _rasterize_binned_interp(
@@ -213,7 +219,7 @@ def _rasterize_binned_interp(
     """Tile-binned rasterization + attribute interpolation for ONE pose.
 
     tri_attr: (F, 3, Da) per-face-vertex attributes. Returns flat
-    image-ordered (interp (H*W, Da), covered (H*W,)).
+    image-ordered (interp (H*W, Da), covered (H*W,), overflow (T,)).
 
     Stage 1 bins faces to (H/tile x W/tile) tiles by screen bbox via a
     top_k selection (_bin_face_records). Stage 2 edge-tests each tile's
@@ -229,7 +235,9 @@ def _rasterize_binned_interp(
     nty, ntx = H // tile, W // tile
     T = nty * ntx
 
-    rec_t = _bin_face_records(xy_f, z_f, valid_f, tri_attr, H, W, tile, K)
+    rec_t, overflow = _bin_face_records(
+        xy_f, z_f, valid_f, tri_attr, H, W, tile, K
+    )
 
     # --- fine: per-tile pixel coordinates (T, tile*tile)
     ty_idx = jax.lax.broadcasted_iota(jnp.int32, (nty, ntx), 0)
@@ -281,7 +289,7 @@ def _rasterize_binned_interp(
             .reshape(H * W, *lead)
         )
 
-    return untile(interp), untile(covered)
+    return untile(interp), untile(covered), overflow
 
 
 def _sample_texture(tex: jax.Array, uv: jax.Array) -> jax.Array:
@@ -688,12 +696,13 @@ def render_mesh(
             if method == "binned":
                 # Fused raster + interp: winner records fetched by a
                 # one-hot MXU matmul inside the tile loop.
-                interp, covered = _rasterize_binned_interp(
+                interp, covered, ovf = _rasterize_binned_interp(
                     xy_f, z_f, valid_f, vdata[faces], H, W, tile,
                     max_faces_per_tile,
                 )
                 m = covered
             else:
+                ovf = jnp.zeros((1,), jnp.int32)  # brute is exact
                 best_face, covered = _rasterize_brute(
                     xy_f, z_f, valid_f, pix_u, pix_v, face_chunk
                 )
@@ -728,7 +737,7 @@ def render_mesh(
                 c2 = 1.0 - c0 - c1
                 interp = va * c0 + vb * c1 + vc * c2  # (P, D)
 
-            return finalize(interp, m)
+            return finalize(interp, m) + (ovf,)
 
         return jax.vmap(one_pose)(pts_cam, xy, Rb)
 
@@ -738,9 +747,14 @@ def render_mesh(
         xy_all.reshape(n_blocks, pose_block, -1, 2),
         R_all.reshape(n_blocks, pose_block, 3, 3),
     )
-    color, xyz, normal, mask = jax.lax.map(render_block, blocks)
+    color, xyz, normal, mask, ovf = jax.lax.map(render_block, blocks)
     color = color.reshape(Np, H, W, 3)[:N]
     xyz = xyz.reshape(Np, H, W, 3)[:N]
     normal = normal.reshape(Np, H, W, 3)[:N] if get_normal else None
     mask = mask.reshape(Np, H, W)[:N]
-    return RenderOutput(color=color, xyz=xyz, normal=normal, mask=mask)
+    overflow = (
+        ovf.reshape(Np, -1)[:N] if method == "binned" else None
+    )  # brute tests every face — nothing can overflow
+    return RenderOutput(
+        color=color, xyz=xyz, normal=normal, mask=mask, overflow=overflow
+    )

@@ -63,7 +63,11 @@ class TrackResult:
         if self._cached is None:
             raw = np.asarray(self._pose_dev, dtype=np.float64).reshape(4, 4)
             if self._on_fetch is not None:
-                self._on_fetch(raw)
+                # on_fetch may return a corrected raw pose (e.g. the
+                # tracking-ROI containment check re-running full-frame).
+                corrected = self._on_fetch(raw)
+                if corrected is not None:
+                    raw = corrected
             self._cached = raw @ self._tf
         return self._cached
 
@@ -387,6 +391,29 @@ class FoundationPose:
         y0 = int(np.clip(round(v - size / 2), 0, H - size))
         return x0, y0, size
 
+    def _roi_contains_pose(self, raw_pose, K, H, W, roi) -> bool:
+        """Was the crop window implied by `raw_pose` (centered-mesh
+        frame, full-frame K) inside the streamed ROI, up to the
+        stencil-filter halo? The window is first clipped to the image:
+        pixels past the border zero-sample identically in full-frame
+        mode, so only in-image excursions count as violations."""
+        x0, y0, size = roi
+        t = raw_pose[:3, 3]
+        z = float(t[2])
+        if z <= 1e-6:
+            return False
+        f = float(max(K[0, 0], K[1, 1]))
+        halo = 4.0  # erode(r=2) + bilateral(r=2) support
+        half = f * (self.diameter * self.cfg.refiner.crop_ratio) / z / 2 + halo
+        u = float(K[0, 0] * t[0] / z + K[0, 2])
+        v = float(K[1, 1] * t[1] / z + K[1, 2])
+        lo_u, hi_u = max(u - half, 0.0), min(u + half, float(W))
+        lo_v, hi_v = max(v - half, 0.0), min(v + half, float(H))
+        return (
+            lo_u >= x0 and hi_u <= x0 + size
+            and lo_v >= y0 and hi_v <= y0 + size
+        )
+
     def track_one_async(self, rgb, depth, K, iteration=2) -> TrackResult:
         """Non-blocking tracking: enqueue this frame's compiled graph and
         return a :class:`TrackResult` whose ``result()`` fetches the pose.
@@ -396,8 +423,11 @@ class FoundationPose:
         overlap host<->device latency with compute. With track_roi on,
         only a window around the object ships per frame, so throughput is
         bounded by compute + window bytes rather than full-frame
-        transfers. Poses match sequential ``track_one`` calls; only fetch
-        timing changes.
+        transfers; each fetch verifies the refined pose's crop window was
+        contained in the streamed window and transparently re-runs the
+        frame full-frame when the object outran it (first such recovery
+        compiles the full-frame bucket). Poses match sequential
+        ``track_one`` calls; only fetch timing changes.
         """
         from .graph import track_graph
 
@@ -407,6 +437,9 @@ class FoundationPose:
         depth = np.asarray(depth)
         K = np.asarray(K, dtype=np.float32)
         H, W = depth.shape
+        rgb_full, depth_full, K_full = rgb, depth, K
+        pose_in = self.pose_last
+        iters = int(iteration) if self.has_refiner else 0
         roi = self._track_roi_window(K, H, W)
         if roi is not None:
             x0, y0, size = roi
@@ -419,14 +452,16 @@ class FoundationPose:
             self.refiner_params,
             self.cfg,
             self.mesh_tensors,
-            self.pose_last,
+            pose_in,
             jnp.asarray(K),
             jnp.asarray(rgb, dtype=jnp.uint8),
             jnp.asarray(depth, dtype=jnp.float32),
             self._diam_dev,
-            iterations=int(iteration) if self.has_refiner else 0,
+            iterations=iters,
         )
         self.pose_last = pose
+        self._track_seq = getattr(self, "_track_seq", 0) + 1
+        seq = self._track_seq
         try:
             pose.copy_to_host_async()
         except AttributeError:  # tracers / sharded arrays without the method
@@ -434,5 +469,34 @@ class FoundationPose:
 
         def on_fetch(raw, _self=self):
             _self._pose_hint = raw
+            if roi is None or _self._roi_contains_pose(
+                raw, K_full, H, W, roi
+            ):
+                return None
+            # The ROI was derived from a pose hint that lagged the true
+            # motion (async pipeline depth / dropped futures) and the
+            # refiner's crop window left the streamed slice, where
+            # warp_crop clamps/zero-samples. Recover by re-running this
+            # frame full-frame from the same input pose, restoring the
+            # "poses match sequential full-frame track_one" contract.
+            logger.warning(
+                "tracking ROI violated (object outran the window); "
+                "re-running frame full-frame"
+            )
+            pose2 = track_graph(
+                _self.refiner_params, _self.cfg, _self.mesh_tensors,
+                pose_in, jnp.asarray(K_full),
+                jnp.asarray(rgb_full, dtype=jnp.uint8),
+                jnp.asarray(depth_full, dtype=jnp.float32),
+                _self._diam_dev, iterations=iters,
+            )
+            raw2 = np.asarray(pose2, dtype=np.float64).reshape(4, 4)
+            _self._pose_hint = raw2
+            if _self._track_seq == seq:
+                # No newer frame dispatched yet: repair the on-device
+                # chain too. (Frames already in flight keep the stale
+                # pose; their own fetches re-verify containment.)
+                _self.pose_last = pose2
+            return raw2
 
         return TrackResult(pose, self.get_tf_to_centered_mesh(), on_fetch)

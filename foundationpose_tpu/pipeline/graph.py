@@ -76,6 +76,11 @@ def device_guess_translation(depth: jax.Array, mask: jax.Array, K: jax.Array):
     k1 = jnp.maximum((n - 1) // 2, 0)
     k2 = jnp.maximum(n // 2, 0)
     zc = (kth(k1) + kth(k2)) / 2.0
+    # All-invalid mask: vmin/vmax are +/-inf and the bisection yields
+    # NaN — pin zc to 0 before it feeds uc/vc math so no NaN is ever
+    # materialized (the final where() would mask the output, but not
+    # e.g. NaN-sensitive downstream reductions under --debug_nans).
+    zc = jnp.where(n > 0, zc, 0.0)
 
     x = (uc - K[0, 2]) / K[0, 0] * zc
     y = (vc - K[1, 2]) / K[1, 1] * zc

@@ -358,9 +358,44 @@ class TestArtifactDumps:
         rn, dn, pn = preprocess_data(rgbs, depths, masks, cam_in_obs, sc, tr)
         runner = NerfRunner(cfg, rn, dn, masks, pn, K, build_pcd=pts)
         art = str(tmp_path / "artifacts")
-        runner.train(artifact_dir=art, i_img=2, i_mesh=4)
+        sunk = []
+        runner.train(
+            artifact_dir=art, i_img=2, i_mesh=4, i_pose=2,
+            metric_sink=lambda step, scalars: sunk.append((step, scalars)),
+        )
         imgs = os.listdir(f"{art}/image")
         assert "step_0000002.png" in imgs and "step_0000004.png" in imgs
         # mesh snapshot may be empty this early; dir exists only if non-empty
         if os.path.isdir(f"{art}/mesh"):
             assert any(f.endswith(".obj") for f in os.listdir(f"{art}/mesh"))
+        # i_pose dumps: optimized per-frame poses in real-world units
+        poses_f = sorted(os.listdir(f"{art}/pose"))
+        assert "step_0000002.npy" in poses_f and "step_0000004.npy" in poses_f
+        dumped = np.load(f"{art}/pose/step_0000002.npy")
+        assert dumped.shape == (len(cam_in_obs), 4, 4)
+        # metric sink (the reference's sacred log_scalar hook) got scalars
+        assert sunk and all("loss" in s and "rgb_loss" in s for _, s in sunk)
+
+    def test_first_frame_dilate(self):
+        """Frame 0's assumed-perfect mask is dilated (reference: 100 px
+        kernel, nerf_runner.py:276-286) and the ring's BAD_DEPTH rays
+        supervise free space; later frames use dilate_mask_size."""
+        from foundationpose_tpu.nerf.scene import BAD_DEPTH
+
+        helper = TestOctreeCloudDenoise()
+        K, rgbs, depths, masks, cam_in_obs = helper._scene()
+        r_dil = helper._runner(K, rgbs, depths, masks, cam_in_obs,
+                               first_frame_dilate=20)
+        r_off = helper._runner(K, rgbs, depths, masks, cam_in_obs,
+                               first_frame_dilate=0)
+        fid_dil = np.asarray(r_dil.rays["frame_id"])
+        fid_off = np.asarray(r_off.rays["frame_id"])
+        # only frame 0 gained rays
+        assert (fid_dil == 0).sum() > (fid_off == 0).sum()
+        assert (fid_dil == 1).sum() == (fid_off == 1).sum()
+        # the extra ring rays carry BAD_DEPTH (free-space supervision)
+        d0 = np.asarray(r_dil.rays["depth"])[fid_dil == 0]
+        sc = r_dil.cfg.sc_factor
+        n_bad_dil = (d0 >= BAD_DEPTH * sc * 0.99).sum()
+        d0_off = np.asarray(r_off.rays["depth"])[fid_off == 0]
+        assert n_bad_dil > (d0_off >= BAD_DEPTH * sc * 0.99).sum()

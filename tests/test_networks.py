@@ -1,5 +1,12 @@
-"""Network parity tests: JAX nets vs an independent torch build of the
-reference architecture, through the weight converter."""
+"""Network parity tests: JAX nets vs the torch reference architecture,
+through the weight converter — twice over:
+
+* against the reference repo's OWN module code, imported and executed
+  from /root/reference/learning/models (the mechanical ground truth);
+* against an independent replica built below (kept for CI speed and for
+  environments without the reference tree).
+"""
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -199,6 +206,122 @@ def test_score_net_parity():
         ).numpy()
     j_logits = np.asarray(
         apply_score_net(params, cfg, jnp.asarray(A), jnp.asarray(B), dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(j_logits, t_logits, atol=2e-3, rtol=1e-3)
+
+
+# ---- parity against the reference's OWN network code -----------------
+#
+# VERDICT r2 item 5: instead of trusting the replica above, import
+# /root/reference/learning/models/{refine_network,score_network}.py and
+# run the converter + comparison against the actual RefineNet /
+# ScoreNetMultiPair class objects (refine_network.py:26-93,
+# score_network.py:27-90).
+
+REF_MODELS = "/root/reference/learning/models"
+
+
+class _RefCfg(dict):
+    """Minimal OmegaConf stand-in: the reference classes read the config
+    both as attributes (cfg.use_BN) and items (cfg['rot_rep'])."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:  # pragma: no cover
+            raise AttributeError(k) from e
+
+
+@pytest.fixture(scope="module")
+def reference_modules():
+    """Import the reference's network modules, executed as-is.
+
+    Their `from Utils import *` pulls CUDA-heavy deps (pytorch3d,
+    nvdiffrast, open3d) that don't exist here, but none of Utils' names
+    are used by the model classes — so Utils is stubbed for the import.
+    """
+    import importlib
+    import sys
+    import types
+
+    if not os.path.isdir(REF_MODELS):
+        pytest.skip("reference tree not available")
+    saved = sys.modules.get("Utils")
+    sys.modules["Utils"] = types.ModuleType("Utils")
+    sys.path.insert(0, REF_MODELS)
+    try:
+        rn = importlib.import_module("refine_network")
+        sn = importlib.import_module("score_network")
+        yield rn, sn
+    finally:
+        sys.path.remove(REF_MODELS)
+        if saved is None:
+            sys.modules.pop("Utils", None)
+        else:
+            sys.modules["Utils"] = saved
+
+
+@pytest.mark.parametrize(
+    "use_bn,rot_rep", [(True, "axis_angle"), (False, "6d")]
+)
+def test_reference_refine_net_parity(reference_modules, use_bn, rot_rep):
+    rn, _ = reference_modules
+    torch.manual_seed(3)
+    tnet = rn.RefineNet(
+        cfg=_RefCfg(use_BN=use_bn, rot_rep=rot_rep), c_in=6
+    ).eval()
+    if use_bn:
+        randomize_bn_stats(tnet, seed=3)
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    assert detect_use_bn(sd) == use_bn
+    params = convert_refine_net(sd, use_bn)
+    cfg = RefineNetCfg(c_in=6, use_bn=use_bn, rot_rep=rot_rep)
+
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((2, 160, 160, 6)).astype(np.float32)
+    B = rng.standard_normal((2, 160, 160, 6)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tnet(
+            torch.from_numpy(A.transpose(0, 3, 1, 2)),
+            torch.from_numpy(B.transpose(0, 3, 1, 2)),
+        )
+    j_out = apply_refine_net(
+        params, cfg, jnp.asarray(A), jnp.asarray(B), dtype=jnp.float32
+    )
+    assert j_out["rot"].shape[-1] == (3 if rot_rep == "axis_angle" else 6)
+    np.testing.assert_allclose(
+        np.asarray(j_out["trans"]), t_out["trans"].numpy(), atol=2e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_out["rot"]), t_out["rot"].numpy(), atol=2e-3, rtol=1e-3
+    )
+
+
+@pytest.mark.parametrize("use_bn", [True, False])
+def test_reference_score_net_parity(reference_modules, use_bn):
+    _, sn = reference_modules
+    torch.manual_seed(4)
+    tnet = sn.ScoreNetMultiPair(cfg=_RefCfg(use_BN=use_bn), c_in=6).eval()
+    if use_bn:
+        randomize_bn_stats(tnet, seed=4)
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    params = convert_score_net(sd, use_bn)
+    cfg = ScoreNetCfg(c_in=6, use_bn=use_bn)
+
+    rng = np.random.default_rng(4)
+    L = 3
+    A = rng.standard_normal((L, 160, 160, 6)).astype(np.float32)
+    B = rng.standard_normal((L, 160, 160, 6)).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tnet(
+            torch.from_numpy(A.transpose(0, 3, 1, 2)),
+            torch.from_numpy(B.transpose(0, 3, 1, 2)),
+            L=L,
+        )["score_logit"].numpy().reshape(-1)
+    j_logits = np.asarray(
+        apply_score_net(
+            params, cfg, jnp.asarray(A), jnp.asarray(B), dtype=jnp.float32
+        )
     )
     np.testing.assert_allclose(j_logits, t_logits, atol=2e-3, rtol=1e-3)
 

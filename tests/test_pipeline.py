@@ -193,6 +193,40 @@ class TestTrack:
                 assert e._track_roi_window(K, H, W) is not None
         np.testing.assert_allclose(poses["roi"], poses["full"], atol=1e-5)
 
+    def test_track_roi_violation_recovers_full_frame(self, caplog):
+        """If the pose hint that sized the ROI lags the true motion and
+        the refined pose's crop window leaves the streamed window, the
+        fetch must detect it and transparently re-run the frame
+        full-frame (ADVICE r2: stale _pose_hint silently degraded
+        poses)."""
+        import logging
+
+        mesh = colored_box()
+        params = zero_refiner_heads(
+            init_refine_net(jax.random.PRNGKey(5), tiny_cfg().refiner.net)
+        )
+        e = FoundationPose(mesh=mesh, cfg=tiny_cfg(), refiner_params=params)
+        gt = np.eye(4)
+        gt[:3, 3] = [0.04, -0.03, 1.25]  # far enough that the ROI < frame
+        rgb, depth, mask = synth_frame(mesh, gt)
+        e.register(K, rgb, depth, mask, iteration=1)
+        p_ok = e.track_one(rgb, depth, K, iteration=1)
+        assert not any("ROI violated" in r.message for r in caplog.records)
+
+        # Forge a stale hint: the ROI window lands away from the object,
+        # so the (identity-refined) output pose's crop window pokes out.
+        stale = e._pose_hint.copy()
+        stale[:3, 3] = [-0.25, 0.2, 1.25]
+        e._pose_hint = stale
+        assert e._track_roi_window(K, H, W) is not None
+        with caplog.at_level(logging.WARNING):
+            p = e.track_one(rgb, depth, K, iteration=1)
+        assert any("ROI violated" in r.message for r in caplog.records)
+        # the recovery re-ran full-frame from the same input pose
+        np.testing.assert_allclose(p, p_ok, atol=1e-5)
+        # and the hint was refreshed from the full-frame result
+        assert np.linalg.norm(e._pose_hint[:3, 3] - stale[:3, 3]) > 0.1
+
     def test_track_async_pipelined_matches_sequential(self, est):
         """Dispatching k frames ahead before fetching (track_one_async)
         returns the same poses as blocking track_one calls."""
