@@ -3,10 +3,20 @@
 Workload matches the reference's benchmark configuration
 (BASELINE.md): 252 rotation hypotheses, 5 refinement iterations,
 hypothesis scoring, argmax — on a ~5k-face textured-equivalent object at
-640x480. The reference achieves ~1.3 s per registration (≈194
-hypotheses/s) on an RTX-3090-class GPU (paper, arXiv:2312.08344).
+640x480.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+BASELINE BASIS (stated explicitly so `vs_baseline` cannot mislead):
+the denominator is the only published measurement of the reference —
+~1.3 s per 252-hypothesis registration (≈194 hyp/s) on an
+**RTX-3090-class GPU** (paper, arXiv:2312.08344 §benchmarks). No
+RTX-4090 measurement of the reference exists (in its repo, the paper,
+or this environment); BASELINE.json's "vs RTX-4090" north star is
+therefore reported against this 3090 basis, with the caveat that a
+4090 would plausibly be 1.5-2x faster on the same CUDA code. The JSON
+line carries `baseline_basis` so downstream records stay honest.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"baseline_basis", "parity_ok", ...}.
 """
 import json
 import time
@@ -14,6 +24,134 @@ import time
 import numpy as np
 
 BASELINE_HYP_PER_S = 252.0 / 1.3  # reference: ~1.3 s / 252-hypothesis register
+BASELINE_BASIS = "RTX-3090 paper number (1.3 s / 252 hyp); no 4090 measurement exists"
+
+
+def parity_gate(mesh, K) -> dict:
+    """On-chip parity of the compiled Pallas kernels vs exact references.
+
+    Every parity TEST runs the kernels CPU-interpreted; this gate runs
+    the actual compiled Mosaic code on the benchmark hardware before any
+    timing, so the recorded throughput is of verified kernels:
+    * rasterizer: 16-pose batch, method='pallas' vs 'brute' — masks
+      bit-equal; on SMOOTH pixels (mask-interior AND 3x3 depth range
+      < 2 mm) color/depth max |Δ| < 2e-4. Pixels at occlusion edges are
+      excluded on principle: the two paths project vertices through
+      differently-associated (equally valid) f32 math, so coverage can
+      flip at a triangle boundary and a different face — at a genuinely
+      different depth — wins the z-test there. That is a tie-break
+      artifact every pair of independent rasterizers exhibits
+      (nvdiffrast included), not a kernel defect; it is bounded instead
+      (< 4% of covered pixels may differ by > 1e-3).
+    * sorted_segment_add: 1M-update stream vs XLA scatter-add,
+      max |Δ| < 1e-4.
+    Returns {"parity_ok": bool, "raster_smooth_max_abs": float,
+    "raster_edge_frac": float, "scatter_max_abs": float}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from foundationpose_tpu.geometry.icosphere import sample_views_icosphere
+    from foundationpose_tpu.geometry.projection import compute_crop_window_tf
+    from foundationpose_tpu.meshio import compute_mesh_diameter
+    from foundationpose_tpu.ops import render_mesh
+    from foundationpose_tpu.ops.pallas_scatter import sorted_segment_add
+
+    # --- rasterizer: the hot path's exact render shape — each pose
+    # rasterized straight into its 160x160 network crop (crop_tf), with
+    # vertex colors + lighting + back-face culling.
+    rng = np.random.default_rng(7)
+    views = sample_views_icosphere(n_views=4)[:16]
+    poses = np.linalg.inv(views).astype(np.float32)
+    poses[:, :3, 3] = [0.02, -0.01, 0.9]
+    poses[:, 2, 3] += rng.uniform(-0.15, 0.3, len(poses))
+    colors = rng.uniform(0.1, 1.0, (len(mesh.vertices), 3)).astype(np.float32)
+    diam = jnp.float32(compute_mesh_diameter(mesh.vertices))
+    Kj = jnp.asarray(K)
+    crop_tf = compute_crop_window_tf(jnp.asarray(poses), Kj, 1.2, 160, diam)
+    args = dict(
+        out_hw=(160, 160),
+        crop_tf=crop_tf,
+        vertex_color=jnp.asarray(colors),
+        vnormals=jnp.asarray(mesh.vertex_normals.astype(np.float32)),
+        use_light=True,
+        tile=32,
+        max_faces_per_tile=256,
+        cull_backfaces=True,
+    )
+    outs = {}
+    for method in ("pallas", "brute"):
+        o = render_mesh(
+            jnp.asarray(mesh.vertices.astype(np.float32)),
+            jnp.asarray(mesh.faces.astype(np.int32)),
+            jnp.asarray(poses), Kj, method=method, **args,
+        )
+        outs[method] = jax.block_until_ready(o)
+    mask_mismatch = int(
+        (np.asarray(outs["pallas"].mask) != np.asarray(outs["brute"].mask)).sum()
+    )
+    agree = np.asarray(outs["brute"].mask) & np.asarray(outs["pallas"].mask)
+
+    def shift_filter(x, reduce):
+        """3x3 min/max filter via shifted views (no scipy dependency)."""
+        out = x.copy()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                s = np.roll(np.roll(x, dy, axis=1), dx, axis=2)
+                out = reduce(out, s)
+        return out
+
+    bd = np.asarray(outs["brute"].depth)
+    interior = (
+        shift_filter(agree.astype(np.uint8), np.minimum).astype(bool)
+    )
+    zmax = shift_filter(np.where(agree, bd, -1e9), np.maximum)
+    zmin = shift_filter(np.where(agree, bd, 1e9), np.minimum)
+    smooth = interior & ((zmax - zmin) < 2e-3)
+
+    raster_max = 0.0
+    edge_big = 0
+    for field in ("color", "depth"):
+        a = np.asarray(getattr(outs["pallas"], field))
+        b = np.asarray(getattr(outs["brute"], field))
+        m = smooth[..., None] if a.ndim == 4 else smooth
+        ma = agree[..., None] if a.ndim == 4 else agree
+        raster_max = max(raster_max, float(np.abs((a - b) * m).max()))
+        edge_big = max(edge_big, int((np.abs((a - b) * ma) > 1e-3).sum()))
+    edge_frac = edge_big / max(int(agree.sum()), 1)
+    ovf = int(np.asarray(outs["pallas"].overflow).sum())
+
+    # --- sorted segment-add: the NeRF hash-grid gradient workload.
+    M, C, TBL = 1 << 20, 8, 1 << 19
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    idx = jnp.sort(jax.random.randint(k1, (M,), 0, TBL, dtype=jnp.int32))
+    upd = jax.random.uniform(k2, (M, C), minval=-1.0, maxval=1.0)
+    ours = sorted_segment_add(idx, upd, TBL)
+    ref = jnp.zeros((TBL, C), jnp.float32).at[idx].add(upd)
+    scatter_max = float(jnp.max(jnp.abs(ours - ref)))
+
+    ok = (
+        mask_mismatch == 0
+        and ovf == 0
+        and raster_max < 2e-4
+        and edge_frac < 0.04
+        and scatter_max < 1e-4
+    )
+    if not ok:
+        import sys
+
+        print(
+            f"[parity FAILED] mask_mismatch={mask_mismatch} overflow={ovf} "
+            f"raster_smooth_max={raster_max:.2e} edge_frac={edge_frac:.4f} "
+            f"scatter_max={scatter_max:.2e}",
+            file=sys.stderr,
+        )
+    return {
+        "parity_ok": bool(ok),
+        "raster_smooth_max_abs": round(raster_max, 8),
+        "raster_edge_frac": round(edge_frac, 5),
+        "scatter_max_abs": round(scatter_max, 8),
+    }
 
 
 def main():
@@ -43,6 +181,9 @@ def main():
     K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1.0]], np.float32)
     gt = np.eye(4, dtype=np.float32)
     gt[:3, 3] = [0.02, -0.01, 0.9]
+
+    # Verify the compiled kernels on this chip BEFORE timing them.
+    parity = parity_gate(mesh, K)
 
     # Synthetic observation rendered with the same rasterizer.
     out = render_mesh(
@@ -150,6 +291,8 @@ def main():
                 "value": round(hyp_per_s, 2),
                 "unit": "hyp/s (252-hyp, 5-iter registration)",
                 "vs_baseline": round(hyp_per_s / BASELINE_HYP_PER_S, 3),
+                "baseline_basis": BASELINE_BASIS,
+                **parity,
             }
         )
     )
