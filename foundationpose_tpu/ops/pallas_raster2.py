@@ -22,21 +22,34 @@ slot-record gather 39 ms, fine eval 42 ms):
   per tile, unlike the XLA binned path which silently drops at K.
   Faces beyond rounds*K are dropped and REPORTED per tile in the ovf
   output (ops/rasterizer.py exposes this).
-* Fine eval: per 8x8 subtile, all K tile candidates are edge-tested on
-  the VPU (64 px x K lanes); the winner's perspective-correct
-  barycentrics weight three one-hot matmuls that interpolate the
-  vertex attributes directly — no per-pixel gather, no winner-record
-  fetch. Camera-space XYZ is NOT interpolated: it is reconstructed in
-  XLA as z * ray(pixel), saving 9 record rows.
+* Fine eval: the WHOLE tile's pixels (tile^2 rows) are edge-tested
+  against all K candidates in one VPU pass; the winner's
+  perspective-correct barycentrics weight three one-hot matmuls that
+  interpolate the vertex attributes directly — no per-pixel gather, no
+  winner-record fetch. Depth and coverage ride the SAME matmuls:
+  pack_records appends per-vertex [z, 1] attribute rows, and
+  perspective-correct interpolation of vertex z equals the screen
+  depth (sum_i c_i z_i = sum_i w_i / zsum = 1/zsum) while
+  interpolation of the constant 1 under the one-hot weights is exactly
+  the 0/1 coverage — so one (Da, K) x (K, tile^2) contraction set per
+  tile yields the full [attrs | z | mask] output block, channel-major,
+  with no transposes. (The previous per-8x8-subtile eval issued 16x
+  more, far smaller, matmuls per tile and needed an MXU identity
+  transpose for z; measured 45 -> ~27 ms for the 252x160^2 bench
+  render.) Camera-space XYZ is NOT interpolated: it is reconstructed
+  in XLA as z * ray(pixel), saving 9 record rows.
 
 Record row layout, shared with the XLA prep (pack_records):
     rows 0..3   face screen bbox [bx0, bx1, by0, by1]
     rows 4..13  sign-normalized edge coefficients (row 13 = ok flag)
     rows 14..16 per-vertex 1/z
     rows 17..   3*Da per-vertex attributes, grouped by vertex
-                ([v0 attrs | v1 attrs | v2 attrs])
+                ([v0 attrs | v1 attrs | v2 attrs]); the last two
+                attributes of each vertex group are the appended
+                [z, 1] rows (pack_records adds them)
 
-Output rows per tile: [Da interpolated attrs | z | coverage mask].
+Output rows per tile: [Da-2 interpolated attrs | z | coverage mask]
+(= Da rows; pixels row-major within the tile).
 """
 from __future__ import annotations
 
@@ -50,7 +63,6 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import jax_config  # noqa: F401
 
 _BIG = 1e30
-_SUB = 8  # subtile edge (pixels)
 _HI = jax.lax.Precision.HIGHEST
 
 
@@ -71,8 +83,7 @@ def _raster_kernel(
     rounds: int,
 ):
     D2 = 17 + 3 * Da
-    nsx = tile // _SUB
-    n_sub = nsx * (tile // _SUB)
+    P = tile * tile
     CW = 8  # chunks binned per group (static unroll width)
 
     # Rank/cumsum helpers, built once per program. U is the inclusive
@@ -89,16 +100,12 @@ def _raster_kernel(
         jnp.float32
     )  # (K, 1)
 
-    # Local pixel offsets within one subtile (row-major 8x8): (64, 1)
-    # for the pixel-major edge eval, and the 64x64 identity that flips
-    # (64, 1) -> (1, 64) on the MXU (Mosaic has no cheap transpose).
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (_SUB * _SUB, 1), 0)
-    lx = (pidx % _SUB).astype(jnp.float32)
-    ly = (pidx // _SUB).astype(jnp.float32)
-    I64 = (
-        jax.lax.broadcasted_iota(jnp.int32, (_SUB * _SUB, _SUB * _SUB), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (_SUB * _SUB, _SUB * _SUB), 1)
-    ).astype(jnp.float32)
+    # Local pixel offsets within the tile (row-major): (P, 1) for the
+    # pixel-major edge eval. No transpose machinery: depth and coverage
+    # come out channel-major from the interpolation matmuls.
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    lx = (pidx % tile).astype(jnp.float32)
+    ly = (pidx // tile).astype(jnp.float32)
 
     def do_tile(t, _):
         ty = t // ntx
@@ -180,23 +187,27 @@ def _raster_kernel(
 
             return jax.lax.fori_loop(0, n_grp, do_group, jnp.float32(0.0))
 
-        def eval_subtile(s, width=None):
-            """Edge-test the first `width` (default K) candidates of acc
-            against subtile s and interpolate the winner's attributes.
-            Returns (z_t (1, 64), attr_t (Da, 64)), z_t = BIG if empty.
+        def eval_tile(width):
+            """Edge-test the first `width` candidates of acc against ALL
+            tile pixels and interpolate the winner's attributes. Returns
+            the finished (Da, P) output block [attrs-2 | z | coverage].
 
             `width` < K is EXACT whenever the tile's candidate count is
             <= width: fill() packs ranks ascending, so all candidates
             then live in the first `width` lanes.
 
             acc rows are the record rows MINUS the four bbox rows (fill
-            does not route them): [10 coeffs | 3 zinv | 3*Da attrs]."""
-            sxf = tx0 + (s % nsx) * _SUB
-            syf = ty0 + (s // nsx) * _SUB
-            px = sxf + lx  # (64, 1)
-            py = syf + ly
-            A = acc_ref[:, : (width or K)]
-            w0 = px * A[0:1, :] + py * A[1:2, :] + A[2:3, :]  # (64, K)
+            does not route them): [10 coeffs | 3 zinv | 3*Da attrs].
+            The last two attrs of each vertex group are [z, 1]
+            (pack_records appends them): perspective-correct
+            interpolation of vertex z IS the screen depth, and of the
+            constant 1 under one-hot weights IS the coverage — so the
+            same three matmuls produce the whole output block
+            channel-major, with no transpose."""
+            px = tx0 + lx  # (P, 1)
+            py = ty0 + ly
+            A = acc_ref[:, :width]
+            w0 = px * A[0:1, :] + py * A[1:2, :] + A[2:3, :]  # (P, K)
             w1 = px * A[3:4, :] + py * A[4:5, :] + A[5:6, :]
             w2 = px * A[6:7, :] + py * A[7:8, :] + A[8:9, :]
             eps = -1e-5
@@ -205,7 +216,7 @@ def _raster_kernel(
             )
             zsum = w0 * A[10:11, :] + w1 * A[11:12, :] + w2 * A[12:13, :]
             z = jnp.where(inside & (zsum > 1e-12), 1.0 / zsum, _BIG)
-            zmin = jnp.min(z, axis=1, keepdims=True)  # (64, 1)
+            zmin = jnp.min(z, axis=1, keepdims=True)  # (P, 1)
             covered = zmin < _BIG
             lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
             first = jnp.min(
@@ -214,12 +225,11 @@ def _raster_kernel(
             )
             ohw = (
                 (z == zmin) & (lane == first) & covered
-            ).astype(jnp.float32)  # (64, K): winner one-hot, 0 if empty
-            zmin = jnp.where(covered, zmin, _BIG)
+            ).astype(jnp.float32)  # (P, K): winner one-hot, 0 if empty
 
             # Perspective-correct barycentric WEIGHTED one-hots: the
-            # attribute interpolation becomes three small matmuls — no
-            # winner-record fetch, no per-pixel gather.
+            # attribute interpolation is three matmuls over the whole
+            # tile — no winner-record fetch, no per-pixel gather.
             zsg = jnp.where(zsum > 1e-12, zsum, 1.0)
             W0 = ohw * (w0 * A[10:11, :] / zsg)
             W1 = ohw * (w1 * A[11:12, :] / zsg)
@@ -230,14 +240,9 @@ def _raster_kernel(
                     A[13 + g * Da : 13 + (g + 1) * Da, :], Wv,
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=_HI,
-                )  # (Da, 64)
+                )  # (Da, P)
 
-            attr_t = interp(W0, 0) + interp(W1, 1) + interp(W2, 2)
-            z_t = jax.lax.dot_general(
-                zmin, I64, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI,
-            )  # (1, 64)
-            return z_t, attr_t
+            return interp(W0, 0) + interp(W1, 1) + interp(W2, 2)
 
         count = fill(0)
 
@@ -246,29 +251,23 @@ def _raster_kernel(
         # fits the first K/2 lanes (~46%) run the edge tests at half
         # vector width. Ranks pack ascending, so both tiers see every
         # candidate they claim to.
-        def eval_flat(width):
-            def go():
-                return tuple(
-                    x for s in range(n_sub) for x in eval_subtile(s, width)
-                )
-            return go
-
-        def empty_flat():
-            z = jnp.full((1, _SUB * _SUB), _BIG, jnp.float32)
-            a = jnp.zeros((Da, _SUB * _SUB), jnp.float32)
-            return tuple(x for _ in range(n_sub) for x in (z, a))
+        def empty_tile():
+            return jnp.zeros((Da, P), jnp.float32)
 
         if K >= 256:
-            flat = jax.lax.cond(
+            blk = jax.lax.cond(
                 count == 0.0,
-                empty_flat,
+                empty_tile,
                 lambda: jax.lax.cond(
-                    count <= float(K // 2), eval_flat(K // 2), eval_flat(K)
+                    count <= float(K // 2),
+                    lambda: eval_tile(K // 2),
+                    lambda: eval_tile(K),
                 ),
             )
         else:
-            flat = jax.lax.cond(count == 0.0, empty_flat, eval_flat(K))
-        subs = [(flat[2 * s], flat[2 * s + 1]) for s in range(n_sub)]
+            blk = jax.lax.cond(
+                count == 0.0, empty_tile, lambda: eval_tile(K)
+            )
 
         for r in range(1, rounds):
             pred = count > float(r * K)
@@ -277,36 +276,21 @@ def _raster_kernel(
             def _():
                 fill(r)
 
-            def merged(su):
-                out = []
-                for s in range(n_sub):
-                    zo, ao = su[2 * s], su[2 * s + 1]
-                    zn, an = eval_subtile(s)
-                    better = zn < zo
-                    out.append(jnp.where(better, zn, zo))
-                    out.append(jnp.where(better, an, ao))
-                return tuple(out)
+            def merged(old):
+                new = eval_tile(K)
+                zo = jnp.where(old[Da - 1 : Da, :] > 0.5,
+                               old[Da - 2 : Da - 1, :], _BIG)
+                zn = jnp.where(new[Da - 1 : Da, :] > 0.5,
+                               new[Da - 2 : Da - 1, :], _BIG)
+                return jnp.where(zn < zo, new, old)
 
-            flat = tuple(x for pair in subs for x in pair)
-            flat = jax.lax.cond(pred, merged, lambda su: su, flat)
-            subs = [(flat[2 * s], flat[2 * s + 1]) for s in range(n_sub)]
+            blk = jax.lax.cond(pred, merged, lambda old: old, blk)
 
         ovf_ref[0, 0, t] = jnp.maximum(
             count - float(rounds * K), 0.0
         ).astype(jnp.int32)
 
-        for s in range(n_sub):
-            z_t, attr_t = subs[s]
-            cov = z_t < _BIG  # (1, 64)
-            col = s * (_SUB * _SUB)
-            out_ref[0, t, :, col : col + _SUB * _SUB] = jnp.concatenate(
-                [
-                    jnp.where(cov, attr_t, 0.0),
-                    jnp.where(cov, z_t, 0.0),
-                    cov.astype(jnp.float32),
-                ],
-                axis=0,
-            )
+        out_ref[0, t, :, :] = blk
         return 0
 
     jax.lax.fori_loop(0, ntx * nty, do_tile, 0)
@@ -327,20 +311,22 @@ def raster_pose_pallas(
     rounds: int = 4,
     interpret: bool = False,
 ):
-    """-> (out (N, T, Da+2, tile^2), ovf (N, T) int32).
+    """-> (out (N, T, Da, tile^2), ovf (N, T) int32).
 
-    out rows: [Da interpolated attrs | winner z | coverage mask]; pixel
-    order within a tile is subtile-major (8x8 row-major blocks);
-    ops/rasterizer.py un-shuffles to image order and reconstructs the
-    camera-space XYZ map as z * ray. ovf[n, t] counts faces dropped
-    beyond the rounds*K per-tile capacity.
+    out rows: [Da-2 interpolated attrs | winner z | coverage mask]
+    (records carry appended per-vertex [z, 1] attributes whose
+    interpolation yields the z and mask rows — see pack_records);
+    pixels are row-major within each tile; ops/rasterizer.py
+    un-tiles to image order and reconstructs the camera-space XYZ map
+    as z * ray. ovf[n, t] counts faces dropped beyond the rounds*K
+    per-tile capacity.
     """
     N, D2, Fp = rec.shape
-    assert Fp % 128 == 0 and tile % _SUB == 0 and K % 128 == 0
+    assert Fp % 128 == 0 and K % 128 == 0
     Da = (D2 - 17) // 3
     T = ntx * nty
     P = tile * tile
-    OUT = Da + 2
+    OUT = Da
     C = Fp // 128
     # chunk-major layout: the kernel indexes chunks on a leading dim
     # (cheap address offset) instead of a dynamic lane slice.
@@ -394,8 +380,18 @@ def pack_records(xy_f, z_f, valid_f, tri_attr, coeffs, zinv):
     xy_f (F, 3, 2) screen verts, tri_attr (F, 3, Da), coeffs (F, 10),
     zinv (F, 3) from rasterizer._face_coeffs. Invalid faces get an
     empty bbox so they never pass a chunk/tile overlap test.
+
+    Appends per-vertex [z, 1] attribute rows: the kernel's
+    perspective-correct interpolation of vertex z equals the winner's
+    screen depth, and of the constant 1 (under one-hot weights) equals
+    the coverage mask — so depth/mask ride the attribute matmuls and
+    the output block needs no extra rows.
     """
     F, _, Da = tri_attr.shape
+    tri_attr = jnp.concatenate(
+        [tri_attr, z_f[..., None], jnp.ones((F, 3, 1), tri_attr.dtype)],
+        axis=-1,
+    )  # (F, 3, Da + 2)
     ok = coeffs[:, 9] > 0
     bx0 = jnp.where(ok, jnp.min(xy_f[:, :, 0], axis=1), _BIG)
     bx1 = jnp.where(ok, jnp.max(xy_f[:, :, 0], axis=1), -_BIG)
@@ -406,7 +402,7 @@ def pack_records(xy_f, z_f, valid_f, tri_attr, coeffs, zinv):
             jnp.stack([bx0, bx1, by0, by1], axis=1),
             coeffs,
             zinv,
-            tri_attr.reshape(F, 3 * Da),  # grouped per vertex (v0|v1|v2)
+            tri_attr.reshape(F, 3 * (Da + 2)),  # per vertex (v0|v1|v2)
         ],
         axis=1,
     )  # (F, D2)

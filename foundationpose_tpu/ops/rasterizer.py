@@ -611,7 +611,8 @@ def render_mesh(
             ),
         )
         D2 = rec_all.shape[-2]
-        Da = (D2 - 17) // 3
+        Da = (D2 - 17) // 3  # incl. the appended per-vertex [z, 1] rows
+        An = Da - 2  # real attribute count
         rec_all = rec_all.reshape(Np, D2, -1)
         act_all = act_all.reshape(Np, T, -1)
         acnt_all = acnt_all.reshape(Np, T)
@@ -619,16 +620,13 @@ def render_mesh(
         out, ovf = raster_pose_pallas(
             rec_all, act_all, acnt_all, tile, ntx, nty, K=Kp,
             rounds=raster_rounds, interpret=interpret,
-        )  # out (Np, T, Da+2, tile^2) subtile-major
+        )  # out (Np, T, Da, tile^2), pixels row-major within tiles
 
-        ns = tile // _SUBTILE
-        out = out.reshape(Np, nty, ntx, Da + 2, ns, ns, _SUBTILE, _SUBTILE)
-        out = out.transpose(0, 1, 4, 6, 2, 5, 7, 3).reshape(
-            Np, H * W, Da + 2
-        )
-        attrs = out[..., :Da]
-        z_pix = out[..., Da]
-        m_all = out[..., Da + 1] > 0.5
+        out = out.reshape(Np, nty, ntx, Da, tile, tile)
+        out = out.transpose(0, 1, 4, 2, 5, 3).reshape(Np, H * W, Da)
+        attrs = out[..., :An]
+        z_pix = out[..., An]
+        m_all = out[..., An + 1] > 0.5
 
         # Camera-space XYZ reconstructed as z * ray (records carry no
         # position attrs). ray = Kinv @ crop_inv @ [px, py, 1].
