@@ -29,10 +29,10 @@ class NerfCfg:
     log2_hashmap_size: int = 22
     base_res: int = 32
     finest_res: int = 512  # 256 for the linemod config
-    # "quad" = TPU-native 4-corner-row layout (4x fewer gather
-    # descriptors per step, z-scrambled hash); "cuda" = torch-ngp
-    # index-exact hashing (ops/hashgrid.py docstring).
-    grid_layout: str = "quad"
+    # "oct" = TPU-native 8-corner-row layout (one gather descriptor per
+    # point-level, z-scrambled hash); "quad" = 4-corner rows (2 fetches);
+    # "cuda" = torch-ngp index-exact hashing (ops/hashgrid.py docstring).
+    grid_layout: str = "oct"
 
     # SH view encoding
     multires_views: int = 3  # SH degree

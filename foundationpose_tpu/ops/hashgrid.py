@@ -41,15 +41,18 @@ class HashGridCfg:
     base_resolution: int = 32
     desired_resolution: int = 512
     log2_hashmap_size: int = 22
-    # "quad": TPU-native layout — hashed levels index (x + s*y + z*P) so
-    #   the four (x, y)-plane corners of a cell sit in ADJACENT table
-    #   rows; the forward gathers ONE 4-corner row per (point, level,
-    #   z-corner) from a rolled-copy quad table (4x fewer fetch
-    #   descriptors — the TPU gather cost is per fetched slice, ~13
-    #   ns/row on v5e, measured). "cuda": index-exact torch-ngp
-    #   semantics (gridencoder.cu:96-246), 8 row fetches per
-    #   point-level. The NeRF runner uses "quad"; "cuda" is the default
-    #   here so standalone uses keep reference-exact indexing.
+    # "oct": TPU-native layout — same index formula as "quad" but the
+    #   rolled-copy table packs ALL EIGHT cell corners per row, so the
+    #   forward gathers ONE row per (point, level): the NGP descriptor
+    #   minimum (the TPU gather cost is per fetched slice, ~13-15
+    #   ns/row on v5e, measured — nearly independent of row width).
+    # "quad": hashed levels index (x + s*y + z*P) so the four
+    #   (x, y)-plane corners sit in adjacent table rows; ONE 4-corner
+    #   row fetch per (point, level, z-corner).
+    # "cuda": index-exact torch-ngp semantics (gridencoder.cu:96-246),
+    #   8 row fetches per point-level. The NeRF runner uses "oct";
+    #   "cuda" is the default here so standalone uses keep
+    #   reference-exact indexing.
     layout: str = "cuda"
 
     @property
@@ -184,6 +187,8 @@ def hashgrid_encode(embeddings: jax.Array, x: jax.Array, cfg: HashGridCfg) -> ja
     Output channel order matches the CUDA kernel: level-major, channel
     within level.
     """
+    if cfg.layout == "oct":
+        return _ocencode_fwd_impl(embeddings, x, cfg)
     if cfg.layout == "quad":
         return _qencode_fwd_impl(embeddings, x, cfg)
     return _encode_fwd_impl(embeddings, x, cfg)
@@ -422,6 +427,248 @@ def _qencode_bwd_impl(cfg, table_size, x, planes, g):
     return d_emb, d_x
 
 
+# ----------------------------------------------------------------- oct
+#
+# One fetch per (point, level) — the NGP descriptor minimum. Same index
+# formula as the quad layout (x + s*y + H(z), H = s^2 z dense /
+# z*805459861 hashed), but the table packs ALL EIGHT cell corners of
+# base index i in one (8*C)-wide bf16 row via 8 rolled copies:
+#     oct[i] = [t[i+d] for d in (0, 1, s, s+1, h, h+1, h+s, h+s+1)]
+# (shifts mod size; h = the level's z multiplier). The TPU gather cost
+# is per fetched row, nearly independent of row width (13-15 ns/row
+# measured on v5e), so halving descriptors vs quad ~halves the
+# hash-grid forward. The backward segment-adds per LEVEL: flat indices
+# in slot-major (L, N) rows are each confined to level l's disjoint,
+# ascending table segment, so a BATCHED per-row sort concatenates into
+# a globally sorted stream with no merge (sorted_segment_add_leveled).
+
+
+def _oct_slot_constants(cfg: HashGridCfg):
+    """Static per-level constants: scale, size, offset, stride, the
+    z-corner row shift h (s^2 dense / prime hashed), level-start rows."""
+    res_np, sizes_np, offsets_np, total = cfg.level_tables()
+    strides = (res_np + 1).astype(np.uint32)
+    dense = ((res_np + 1) ** 3) <= sizes_np
+    hmul = np.where(dense, strides * strides, np.uint32(_PRIMES[2])).astype(
+        np.uint32
+    )
+    return (
+        _level_scales(cfg),
+        sizes_np.astype(np.uint32),
+        offsets_np,
+        strides,
+        hmul,
+        total,
+    )
+
+
+def _oct_shifts(cfg: HashGridCfg):
+    """Per level: the eight corner row shifts, mod the level size.
+    Corner order q = dz*4 + dy*2 + dx (matches _oct_gather_reduce)."""
+    res_np, sizes_np, _offsets, _total = cfg.level_tables()
+    dense = ((res_np + 1) ** 3) <= sizes_np
+    out = []
+    for l in range(cfg.n_levels):
+        s = int(res_np[l]) + 1
+        h = s * s if dense[l] else int(_PRIMES[2])
+        size = int(sizes_np[l])
+        out.append([(dz * h + dy * s + dx) % size
+                    for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)])
+    return out
+
+
+def build_oct_table(embeddings: jax.Array, cfg: HashGridCfg) -> jax.Array:
+    """(total, C) -> (total, 8*C) bf16 rolled-copy oct table (per level).
+
+    Like build_quad_table but all eight corners: a pure-bandwidth
+    derived copy rebuilt each step (~2 GB/s-scale traffic at the NeRF
+    config); master params stay f32."""
+    res_np, sizes_np, offsets_np, _tot = cfg.level_tables()
+    emb16 = embeddings.astype(jnp.bfloat16)
+    shifts = _oct_shifts(cfg)
+    segs = []
+    for l in range(cfg.n_levels):
+        off = int(offsets_np[l])
+        size = int(sizes_np[l])
+        t = jax.lax.dynamic_slice_in_dim(emb16, off, size, 0)
+        segs.append(
+            jnp.concatenate(
+                [jnp.roll(t, -sh, axis=0) for sh in shifts[l]], axis=1
+            )
+        )
+    return jnp.concatenate(segs, axis=0)  # (total, 8C) bf16
+
+
+def _oct_corner_data(x: jax.Array, cfg: HashGridCfg):
+    """Per-level slot data in flat (N, L) layout.
+
+    Returns flat base-corner table rows (N, L) int32, per-axis
+    interpolation fractions fx/fy/fz (N, L), and the oob mask (N,)."""
+    scales, sizes_np, offsets_np, strides, hmul, _tot = _oct_slot_constants(cfg)
+    x01 = (x + 1.0) / 2.0
+    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)  # (N,)
+
+    pos = x01[:, :, None] * jnp.asarray(_level_scales(cfg))[None, None] + 0.5
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid  # (N, 3, L)
+    pg = pos_grid.astype(jnp.uint32)
+
+    # uint32 wraparound is exact: hashed level sizes are powers of two
+    # dividing 2^32, dense linear indices fit without wraparound.
+    lin = (
+        pg[:, 0, :]
+        + pg[:, 1, :] * jnp.asarray(strides)[None]
+        + pg[:, 2, :] * jnp.asarray(hmul)[None]
+    )
+    idx = lin % jnp.asarray(sizes_np)[None]
+    flat = idx.astype(jnp.int32) + jnp.asarray(
+        offsets_np.astype(np.int32)
+    )[None]  # (N, L)
+    return flat, frac[:, 0, :], frac[:, 1, :], frac[:, 2, :], oob
+
+
+def _oct_weights(fx, fy, fz):
+    """Eight trilinear corner weights, order q = dz*4 + dy*2 + dx."""
+    wx = (1.0 - fx, fx)
+    wy = (1.0 - fy, fy)
+    wz = (1.0 - fz, fz)
+    return [
+        wz[dz] * wy[dy] * wx[dx]
+        for dz in (0, 1)
+        for dy in (0, 1)
+        for dx in (0, 1)
+    ]
+
+
+def _oct_gather_reduce(oct_t, flat, fx, fy, fz, oob, cfg):
+    """Row-gather oct rows and trilerp on the VPU. Returns the encoding
+    (N, L*C) and the per-(corner, channel) value planes (8*C, N, L) for
+    the backward. No level-sum matmul: with one slot per level the
+    weighted sum IS the level output."""
+    N, L = flat.shape
+    C = cfg.level_dim
+    vals = oct_t[flat.reshape(-1)]  # (N*L, 8C) bf16 row gather
+    planes = jnp.stack(
+        [vals[:, p].reshape(N, L) for p in range(8 * C)], axis=0
+    )  # (8C, N, L) bf16: p = q * C + c
+    w8 = _oct_weights(fx, fy, fz)
+    outs = []
+    for c in range(C):
+        acc = jnp.zeros((N, L), jnp.float32)
+        for q in range(8):
+            acc = acc + w8[q] * planes[q * C + c].astype(jnp.float32)
+        outs.append(acc)
+    out = jnp.stack(outs, axis=-1).reshape(N, cfg.out_dim)
+    return jnp.where(oob[:, None], 0.0, out), planes
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _ocencode_fwd_impl(embeddings, x, cfg):
+    oct_t = build_oct_table(embeddings, cfg)
+    flat, fx, fy, fz, oob = _oct_corner_data(x, cfg)
+    out, _planes = _oct_gather_reduce(oct_t, flat, fx, fy, fz, oob, cfg)
+    return out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _ocencode_fwd_res(embeddings, x, cfg):
+    oct_t = build_oct_table(embeddings, cfg)
+    flat, fx, fy, fz, oob = _oct_corner_data(x, cfg)
+    out, planes = _oct_gather_reduce(oct_t, flat, fx, fy, fz, oob, cfg)
+    return out, planes
+
+
+@partial(jax.jit, static_argnames=("cfg", "table_size"))
+def _ocencode_bwd_impl(cfg, table_size, x, planes, g):
+    from .pallas_scatter import factored_segment_add
+
+    scales, sizes_np, offsets_np, _strides, _hmul, _tot = _oct_slot_constants(
+        cfg
+    )
+    N = x.shape[0]
+    L = cfg.n_levels
+    C = cfg.level_dim
+    flat, fx, fy, fz, oob = _oct_corner_data(x, cfg)
+    g_masked = jnp.where(oob[:, None], 0.0, g)  # (N, L*C)
+    g_lc = g_masked.reshape(N, L, C)
+    g_slots = [g_lc[:, :, c] for c in range(C)]  # C x (N, L)
+    w8 = _oct_weights(fx, fy, fz)
+
+    # --- d oct rows -> factored leveled segment-add -> fold rolls back.
+    # The update for row flat[n, l] is the OUTER PRODUCT w8[q] *
+    # g_slots[c]; factored_segment_add sorts only the factors (8 weight
+    # + 2C cotangent planes instead of 2*8*C expanded hi/lo planes) and
+    # expands per chunk inside the kernel — the sort is the backward's
+    # dominant cost. oob rows: point the index at the level's own first
+    # row (updates are already zeroed) so each (L, N) row stays within
+    # its level segment for the batched sort.
+    off_l = jnp.asarray(offsets_np.astype(np.int32))[None]  # (1, L)
+    idx_lv = jnp.where(oob[:, None], off_l, flat).T  # (L, N)
+    w_planes = jnp.stack([w8[q].T for q in range(8)], axis=0)  # (8, L, N)
+    g_planes = jnp.stack([g_slots[c].T for c in range(C)], axis=0)
+    # row-major dq: XLA fuses the kernel-output transpose into the
+    # slice+roll+concat fold below (measured faster than folding the
+    # kernel's channel-major layout with 1D row slices).
+    dq = factored_segment_add(
+        idx_lv, w_planes, g_planes, table_size
+    )  # (T, 8C), rows q*C+c
+
+    shifts = _oct_shifts(cfg)
+    d_segs = []
+    for l in range(cfg.n_levels):
+        off = int(offsets_np[l])
+        size = int(sizes_np[l])
+        dql = jax.lax.dynamic_slice_in_dim(dq, off, size, 0)  # (S, 8C)
+        acc = dql[:, 0:C]  # shift 0
+        for q in range(1, 8):
+            acc = acc + jnp.roll(
+                dql[:, q * C : (q + 1) * C], shifts[l][q], axis=0
+            )
+        d_segs.append(acc)
+    d_emb = jnp.concatenate(d_segs, axis=0)
+
+    # --- d x: analytic trilinear derivative, dpos/dx = scale / 2
+    ve_g = []  # per corner q: sum_c planes * g
+    for q in range(8):
+        acc = jnp.zeros_like(fx)
+        for c in range(C):
+            acc = acc + planes[q * C + c].astype(jnp.float32) * g_slots[c]
+        ve_g.append(acc)
+    wx = (1.0 - fx, fx)
+    wy = (1.0 - fy, fy)
+    wz = (1.0 - fz, fz)
+
+    def corner(dz, dy, dx):
+        return ve_g[dz * 4 + dy * 2 + dx]
+
+    dfx = sum(
+        wz[dz] * wy[dy] * (corner(dz, dy, 1) - corner(dz, dy, 0))
+        for dz in (0, 1)
+        for dy in (0, 1)
+    )
+    dfy = sum(
+        wz[dz] * wx[dx] * (corner(dz, 1, dx) - corner(dz, 0, dx))
+        for dz in (0, 1)
+        for dx in (0, 1)
+    )
+    dfz = sum(
+        wy[dy] * wx[dx] * (corner(1, dy, dx) - corner(0, dy, dx))
+        for dy in (0, 1)
+        for dx in (0, 1)
+    )
+    scale_l = jnp.asarray(_level_scales(cfg))[None] / 2.0  # (1, L)
+    d_x = jnp.stack(
+        [
+            jnp.sum(dfx * scale_l, axis=1),
+            jnp.sum(dfy * scale_l, axis=1),
+            jnp.sum(dfz * scale_l, axis=1),
+        ],
+        axis=-1,
+    )
+    d_x = jnp.where(oob[:, None], 0.0, d_x).astype(x.dtype)
+    return d_emb, d_x
+
+
 def _gather_and_reduce(embeddings, flat, w, oob, cfg):
     """Row-gather corner embeddings and level-sum them on the MXU.
 
@@ -461,7 +708,9 @@ def _encode_fwd_res(embeddings, x, cfg):
 
 
 def _encode_fwd(embeddings, x, cfg):
-    if cfg.layout == "quad":
+    if cfg.layout == "oct":
+        out, planes = _ocencode_fwd_res(embeddings, x, cfg)
+    elif cfg.layout == "quad":
         out, planes = _qencode_fwd_res(embeddings, x, cfg)
     else:
         out, planes = _encode_fwd_res(embeddings, x, cfg)
@@ -518,7 +767,9 @@ def _encode_bwd_impl(cfg, table_size, x, planes, g):
 
 def _encode_bwd(cfg, res, g):
     table_size, x, planes = res
-    if cfg.layout == "quad":
+    if cfg.layout == "oct":
+        d_emb, d_x = _ocencode_bwd_impl(cfg, table_size, x, planes, g)
+    elif cfg.layout == "quad":
         d_emb, d_x = _qencode_bwd_impl(cfg, table_size, x, planes, g)
     else:
         d_emb, d_x = _encode_bwd_impl(cfg, table_size, x, planes, g)

@@ -189,7 +189,7 @@ def reference_encode_quad(embeddings, x, cfg):
     rolled-table machinery against direct corner addressing."""
     import dataclasses
 
-    assert cfg.layout == "quad"
+    assert cfg.layout in ("quad", "oct")  # identical index formula
     # the quad table is a bf16 derived copy — pre-round the values
     embeddings = np.asarray(
         jnp.asarray(embeddings).astype(jnp.bfloat16).astype(jnp.float32)
@@ -338,3 +338,147 @@ class TestPallasSegmentAdd:
         )
         assert got[0, 0] == 1.0 and got[5, 0] == 2.0
         assert got.sum() == 6.0
+
+
+class TestOctLayout:
+    """The oct layout shares the quad index formula (one table row packs
+    all 8 cell corners); reference_encode_quad is its reference too."""
+
+    cfg = HashGridCfg(
+        n_levels=4, level_dim=2, base_resolution=4, desired_resolution=32,
+        log2_hashmap_size=10, layout="oct",
+    )
+
+    def test_matches_naive_reference(self):
+        emb = np.asarray(init_hashgrid(jax.random.PRNGKey(0), self.cfg))
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-1, 1, (48, 3)).astype(np.float32)
+        got = np.asarray(
+            hashgrid_encode(jnp.asarray(emb), jnp.asarray(x), self.cfg)
+        )
+        want = reference_encode_quad(emb, x, self.cfg)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_matches_quad_layout(self):
+        """oct and quad are the same function at every config."""
+        import dataclasses
+
+        cfg_q = dataclasses.replace(self.cfg, layout="quad")
+        emb = init_hashgrid(jax.random.PRNGKey(5), self.cfg)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.uniform(-1, 1, (64, 3)), jnp.float32)
+        a = np.asarray(hashgrid_encode(emb, x, self.cfg))
+        b = np.asarray(hashgrid_encode(emb, x, cfg_q))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_full_size_levels(self):
+        cfg = HashGridCfg(
+            n_levels=6, level_dim=2, base_resolution=4,
+            desired_resolution=64, log2_hashmap_size=12, layout="oct",
+        )
+        emb = np.asarray(init_hashgrid(jax.random.PRNGKey(1), cfg))
+        rng = np.random.default_rng(1)
+        x = rng.uniform(-1, 1, (32, 3)).astype(np.float32)
+        got = np.asarray(hashgrid_encode(jnp.asarray(emb), jnp.asarray(x), cfg))
+        want = reference_encode_quad(emb, x, cfg)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_oob_zero_and_grads_zero(self):
+        emb = init_hashgrid(jax.random.PRNGKey(3), self.cfg)
+        x = jnp.asarray([[1.5, 0.0, 0.0]], jnp.float32)
+        assert float(jnp.abs(hashgrid_encode(emb, x, self.cfg)).sum()) == 0.0
+        de, dx = jax.grad(
+            lambda e, xx: jnp.sum(hashgrid_encode(e, xx, self.cfg)),
+            argnums=(0, 1),
+        )(emb, x)
+        assert float(jnp.abs(de).sum()) == 0.0
+        assert float(jnp.abs(dx).sum()) == 0.0
+
+    def test_vjp_matches_autodiff(self):
+        """Custom backward (leveled segment-add + inverse rolls,
+        analytic d_x) against plain autodiff of the forward."""
+        from foundationpose_tpu.ops.hashgrid import _ocencode_fwd_impl
+
+        emb = init_hashgrid(jax.random.PRNGKey(4), self.cfg)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.uniform(-0.95, 0.95, (64, 3)), jnp.float32)
+        g = jnp.asarray(
+            rng.standard_normal((64, self.cfg.out_dim)), jnp.float32
+        )
+
+        de, dx = jax.grad(
+            lambda e, xx: jnp.vdot(hashgrid_encode(e, xx, self.cfg), g),
+            argnums=(0, 1),
+        )(emb, x)
+        de_ref, dx_ref = jax.grad(
+            lambda e, xx: jnp.vdot(_ocencode_fwd_impl(e, xx, self.cfg), g),
+            argnums=(0, 1),
+        )(emb, x)
+        np.testing.assert_allclose(
+            np.asarray(de), np.asarray(de_ref), atol=5e-2, rtol=1e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(dx), np.asarray(dx_ref), atol=5e-2, rtol=1e-2
+        )
+
+
+class TestLeveledSegmentAdd:
+    def test_matches_scatter(self):
+        """Batched per-level sort + shared block kernel == scatter-add
+        when each row's indices stay in its level's segment."""
+        from foundationpose_tpu.ops.pallas_scatter import (
+            _segment_add_leveled,
+        )
+
+        rng = np.random.default_rng(4)
+        L, N, C = 3, 700, 4
+        # disjoint ascending segments: [0, 400), [400, 1000), [1000, 1800)
+        starts = np.array([0, 400, 1000])
+        sizes = np.array([400, 600, 800])
+        TBL = 1800
+        idx = np.stack(
+            [starts[l] + rng.integers(0, sizes[l], N) for l in range(L)]
+        ).astype(np.int32)
+        upd = rng.normal(size=(C, L, N)).astype(np.float32)
+        want = np.zeros((TBL, C), np.float32)
+        np.add.at(want, idx.reshape(-1), upd.reshape(C, -1).T)
+        got = np.asarray(
+            _segment_add_leveled(
+                jnp.asarray(idx), jnp.asarray(upd), TBL, block=256,
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=5e-4)
+
+
+class TestFactoredSegmentAdd:
+    def test_matches_expanded(self):
+        """Factored (sort w+g, expand in kernel) == expanded scatter-add
+        with bf16-rounded weights."""
+        from foundationpose_tpu.ops.pallas_scatter import (
+            _segment_add_factored,
+        )
+
+        rng = np.random.default_rng(5)
+        L, N, NW, C = 3, 700, 8, 2
+        starts = np.array([0, 400, 1000])
+        sizes = np.array([400, 600, 800])
+        TBL = 1800
+        idx = np.stack(
+            [starts[l] + rng.integers(0, sizes[l], N) for l in range(L)]
+        ).astype(np.int32)
+        w = rng.uniform(0, 1, size=(NW, L, N)).astype(np.float32)
+        g = rng.normal(size=(C, L, N)).astype(np.float32)
+        w16 = np.asarray(
+            jnp.asarray(w).astype(jnp.bfloat16).astype(jnp.float32)
+        )
+        upd = (w16[:, None] * g[None]).reshape(NW * C, L * N)
+        want = np.zeros((TBL, NW * C), np.float32)
+        np.add.at(want, idx.reshape(-1), upd.T)
+        got = np.asarray(
+            _segment_add_factored(
+                jnp.asarray(idx), jnp.asarray(w), jnp.asarray(g), TBL,
+                block=256, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=5e-4)
