@@ -130,6 +130,28 @@ def parity_gate(mesh, K) -> dict:
     ref = jnp.zeros((TBL, C), jnp.float32).at[idx].add(upd)
     scatter_max = float(jnp.max(jnp.abs(ours - ref)))
 
+    # --- factored segment-add: the oct hash-grid backward (sorts the
+    # 8 weight + 2C cotangent factor planes, expands w*g per chunk).
+    from foundationpose_tpu.ops.pallas_scatter import factored_segment_add
+
+    L, N, SEG = 4, 1 << 16, 1 << 14
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    idx_lv = (
+        jax.random.randint(ks[0], (L, N), 0, SEG, dtype=jnp.int32)
+        + (jnp.arange(L, dtype=jnp.int32) * SEG)[:, None]
+    )
+    w8 = jax.random.uniform(ks[1], (8, L, N))
+    gg = jax.random.uniform(ks[2], (2, L, N), minval=-1.0, maxval=1.0)
+    ours_f = factored_segment_add(idx_lv, w8, gg, L * SEG)
+    w16 = w8.astype(jnp.bfloat16).astype(jnp.float32)
+    exp = (w16[:, None] * gg[None]).reshape(16, L * N)
+    ref_f = (
+        jnp.zeros((L * SEG, 16), jnp.float32)
+        .at[idx_lv.reshape(-1)]
+        .add(exp.T)
+    )
+    scatter_max = max(scatter_max, float(jnp.max(jnp.abs(ours_f - ref_f))))
+
     ok = (
         mask_mismatch == 0
         and ovf == 0
@@ -230,7 +252,7 @@ def main():
     # Warmup (compile), then timed runs.
     est.register(K, rgb, depth, mask, iteration=5)
     times = []
-    for _ in range(3):
+    for _ in range(7):
         t0 = time.perf_counter()
         est.register(K, rgb, depth, mask, iteration=5)
         times.append(time.perf_counter() - t0)
