@@ -98,5 +98,6 @@ LINEMOD_OVERRIDES = dict(finest_res=256, rgb_weight=1.0, fs_weight=1000.0)
 # Reduced-sampling preset for single-chip TPU training: the per-step
 # cost is dominated by HBM random gathers into the hash table, which
 # scale with rays x samples; depth-guided sampling keeps supervision
-# quality at ~1/4 the points (~0.6 s/step vs 1.9 s at reference parity).
+# quality at ~1/4 the points (reference-parity settings run 0.456
+# s/step with the oct grid layout; this preset roughly quarters that).
 TPU_FAST_OVERRIDES = dict(n_rand=1024, n_samples=64, n_samples_around_depth=96)
