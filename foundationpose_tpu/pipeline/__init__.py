@@ -5,3 +5,4 @@ from .crops import make_crop_inputs
 from .refiner import refine_poses, apply_pose_delta
 from .scorer import score_poses
 from .estimator import FoundationPose
+from .multi import MultiTracker
