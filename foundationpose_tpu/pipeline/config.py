@@ -90,3 +90,13 @@ class EstimatorCfg:
     # coarse. track_roi=False streams full frames.
     track_roi: bool = True
     track_roi_margin: float = 1.8
+    # Hypothesis funneling (OFF by default = reference-parity register):
+    # refine ALL hypotheses for `prune_after_iter` iterations, rank them
+    # with the weights-free depth-alignment score, then run the
+    # remaining iterations + the network scorer on only the top
+    # `prune_keep` survivors. Cuts most of the per-iteration render +
+    # RefineNet cost once the obviously-wrong orientations are dropped;
+    # an approximation (a non-survivor can no longer win), validated on
+    # synthetic scenes in tests/test_pipeline.py.
+    prune_after_iter: int | None = None
+    prune_keep: int = 64

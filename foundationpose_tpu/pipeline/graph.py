@@ -112,14 +112,54 @@ def register_graph(
     center, n_valid = device_guess_translation(depth, mask, K)
 
     poses = rot_grid.at[:, :3, 3].set(center[None])
-    refined = refine_poses(
-        refiner_params, cfg.refiner, mesh, poses, K, rgb, xyz_map,
-        mesh_diameter, iterations=iterations,
+
+    n_hyp = rot_grid.shape[0]
+    prune = (
+        cfg.prune_after_iter is not None
+        and iterations > cfg.prune_after_iter
+        and cfg.prune_keep < n_hyp
     )
-    scores = score_poses(
-        scorer_params, cfg.scorer, mesh, refined, K, rgb, xyz_map,
-        mesh_diameter, valid=hyp_valid,
-    )
+    if prune:
+        # Hypothesis funneling (cfg.prune_after_iter): refine everything
+        # a few iterations, drop the hopeless orientations by the
+        # weights-free depth score, spend the remaining iterations + the
+        # network scorer on the survivors only. Survivor scores are
+        # offset so every survivor outranks every pruned hypothesis in
+        # the returned order; pruned rows keep their early-refined poses
+        # and rank by depth score among themselves.
+        import dataclasses as _dc
+
+        refined1 = refine_poses(
+            refiner_params, cfg.refiner, mesh, poses, K, rgb, xyz_map,
+            mesh_diameter, iterations=cfg.prune_after_iter,
+        )
+        depth_cfg = _dc.replace(cfg.scorer, mode="depth")
+        pre = score_poses(
+            scorer_params, depth_cfg, mesh, refined1, K, rgb, xyz_map,
+            mesh_diameter, valid=hyp_valid,
+        )
+        _, keep_idx = jax.lax.top_k(pre, cfg.prune_keep)
+        sub_refined = refine_poses(
+            refiner_params, cfg.refiner, mesh, refined1[keep_idx], K, rgb,
+            xyz_map, mesh_diameter,
+            iterations=iterations - cfg.prune_after_iter,
+        )
+        sub_scores = score_poses(
+            scorer_params, cfg.scorer, mesh, sub_refined, K, rgb, xyz_map,
+            mesh_diameter, valid=hyp_valid[keep_idx],
+        )
+        refined = refined1.at[keep_idx].set(sub_refined)
+        # -inf survivor scores (padded hyps) stay -inf through the offset
+        scores = pre.at[keep_idx].set(sub_scores + 1e5)
+    else:
+        refined = refine_poses(
+            refiner_params, cfg.refiner, mesh, poses, K, rgb, xyz_map,
+            mesh_diameter, iterations=iterations,
+        )
+        scores = score_poses(
+            scorer_params, cfg.scorer, mesh, refined, K, rgb, xyz_map,
+            mesh_diameter, valid=hyp_valid,
+        )
     order = jnp.argsort(-scores)
     return order, refined[order], scores[order], center, n_valid
 

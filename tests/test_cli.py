@@ -28,5 +28,16 @@ class TestArgParsing:
         import foundationpose_tpu.cli.run_bop
         import foundationpose_tpu.cli.run_demo
         import foundationpose_tpu.cli.run_linemod
+        import foundationpose_tpu.cli.run_multi_demo
         import foundationpose_tpu.cli.run_nerf
         import foundationpose_tpu.cli.run_ycb_video
+
+    def test_run_multi_demo_rejects_mismatched_lists(self):
+        from foundationpose_tpu.cli.run_multi_demo import main
+
+        with pytest.raises(SystemExit):
+            main([
+                "--mesh_files", "a.obj,b.obj",
+                "--mask_files", "a.png",
+                "--test_scene_dir", "x",
+            ])

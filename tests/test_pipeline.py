@@ -140,6 +140,34 @@ class TestRegister:
         s = np.asarray(est.scores)
         assert (np.diff(s[np.isfinite(s)]) <= 1e-6).all()
 
+    def test_register_funneling_matches_full(self):
+        """Hypothesis funneling (EstimatorCfg.prune_after_iter) must pick
+        the same best pose as the full register here: the depth score
+        that drives the prune is the same score that ranks hypotheses in
+        this depth-scorer config, so the eventual winner is always a
+        survivor."""
+        import dataclasses
+
+        mesh = colored_box()
+        cfg = tiny_cfg()
+        params = zero_refiner_heads(
+            init_refine_net(jax.random.PRNGKey(0), cfg.refiner.net)
+        )
+        gt = np.eye(4)
+        gt[:3, 3] = [0.02, -0.01, 0.9]
+        rgb, depth, mask = synth_frame(mesh, gt)
+        est_f = FoundationPose(mesh=mesh, cfg=cfg, refiner_params=params)
+        pose_f = est_f.register(K, rgb, depth, mask, iteration=2)
+        cfg_p = dataclasses.replace(cfg, prune_after_iter=1, prune_keep=16)
+        est_p = FoundationPose(mesh=mesh, cfg=cfg_p, refiner_params=params)
+        pose_p = est_p.register(K, rgb, depth, mask, iteration=2)
+        np.testing.assert_allclose(pose_p, pose_f, atol=1e-6)
+        # every survivor outranks every pruned hypothesis (offset scores)
+        s = np.asarray(est_p.scores)
+        n_surv = int((s[np.isfinite(s)] > 1e4).sum())
+        assert n_surv == 16
+        assert (s[:n_surv] > 1e4).all()
+
 
 @pytest.mark.slow
 class TestTrack:

@@ -170,3 +170,31 @@ def test_full_register_sharded_matches_single():
     est8 = FoundationPose(mesh=mesh, cfg=tiny_cfg(), n_devices=8)
     p8 = est8.register(K, rgb, depth, mask, iteration=0)
     np.testing.assert_allclose(p8, p1, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_register_funneling_sharded_matches_single():
+    """Hypothesis funneling under the sharded register: top_k + gather
+    across the sharded hypothesis axis must still equal single-device
+    (GSPMD inserts the resharding collectives)."""
+    import dataclasses
+
+    from foundationpose_tpu.pipeline import FoundationPose
+    from tests.test_pipeline import (
+        colored_box, synth_frame, tiny_cfg, zero_refiner_heads, K,
+    )
+    from foundationpose_tpu.models.networks import init_refine_net
+
+    mesh = colored_box()
+    gt = np.eye(4)
+    gt[:3, 3] = [0.01, -0.02, 0.85]
+    rgb, depth, mask = synth_frame(mesh, gt)
+    cfg = dataclasses.replace(tiny_cfg(), prune_after_iter=1, prune_keep=16)
+    params = zero_refiner_heads(
+        init_refine_net(jax.random.PRNGKey(0), cfg.refiner.net)
+    )
+    est1 = FoundationPose(mesh=mesh, cfg=cfg, refiner_params=params)
+    p1 = est1.register(K, rgb, depth, mask, iteration=2)
+    est8 = FoundationPose(mesh=mesh, cfg=cfg, refiner_params=params, n_devices=8)
+    p8 = est8.register(K, rgb, depth, mask, iteration=2)
+    np.testing.assert_allclose(p8, p1, atol=1e-4)
