@@ -150,8 +150,8 @@ def _run_block_kernel(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2 * C, span), chunk0_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (C, block), lambda i, lo_ref: (0, i),
@@ -424,9 +424,9 @@ def _segment_add_factored(
                 pl.BlockSpec(
                     (2 * C, span), chunk0_map, memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (cdim, block), lambda i, lo_ref: (0, i),

@@ -79,6 +79,65 @@ def _rotation_about_z(angle: float) -> np.ndarray:
     return out
 
 
+def prepare_render_mesh(mesh: TriMesh, cfg: EstimatorCfg, diameter: float) -> TriMesh:
+    """Render-mesh prep shared by FoundationPose.reset_object and
+    MultiTracker.add_object: bake textures to vertex colors and/or
+    decimate dense meshes per cfg (both accuracy-validated — see
+    tests/test_render_defaults.py). `mesh` is the centered mesh."""
+    render_src = mesh
+    if cfg.vertex_color_render and mesh.has_texture:
+        from ..meshio import texture_to_vertex_colors
+
+        render_src = texture_to_vertex_colors(mesh)
+    if cfg.max_render_faces is not None and len(mesh.faces) > cfg.max_render_faces:
+        from ..meshio import decimate_vertex_clustering
+
+        vox = diameter / 160.0  # crop-pixel scale
+        render_src = decimate_vertex_clustering(mesh, vox)
+        while len(render_src.faces) > cfg.max_render_faces:
+            vox *= 1.4
+            render_src = decimate_vertex_clustering(mesh, vox)
+        logger.info(
+            "render mesh decimated: %d -> %d faces",
+            len(mesh.faces),
+            len(render_src.faces),
+        )
+    return render_src
+
+
+def roi_contains_pose(
+    raw_pose: np.ndarray,
+    K: np.ndarray,
+    H: int,
+    W: int,
+    roi: tuple[int, int, int],
+    diameter: float,
+    crop_ratio: float,
+) -> bool:
+    """Was the crop window implied by `raw_pose` (centered-mesh frame,
+    full-frame K) inside the streamed ROI, up to the stencil-filter
+    halo? The window is first clipped to the image: pixels past the
+    border zero-sample identically in full-frame mode, so only in-image
+    excursions count as violations. Shared by the single- and
+    multi-object trackers."""
+    x0, y0, size = roi
+    t = raw_pose[:3, 3]
+    z = float(t[2])
+    if z <= 1e-6:
+        return False
+    f = float(max(K[0, 0], K[1, 1]))
+    halo = 4.0  # erode(r=2) + bilateral(r=2) support
+    half = f * (diameter * crop_ratio) / z / 2 + halo
+    u = float(K[0, 0] * t[0] / z + K[0, 2])
+    v = float(K[1, 1] * t[1] / z + K[1, 2])
+    lo_u, hi_u = max(u - half, 0.0), min(u + half, float(W))
+    lo_v, hi_v = max(v - half, 0.0), min(v + half, float(H))
+    return (
+        lo_u >= x0 and hi_u <= x0 + size
+        and lo_v >= y0 and hi_v <= y0 + size
+    )
+
+
 class FoundationPose:
     def __init__(
         self,
@@ -109,6 +168,9 @@ class FoundationPose:
         # and by every TrackResult fetch — it may lag pose_last by the
         # async pipeline depth, which track_roi_margin absorbs.
         self._pose_hint: np.ndarray | None = None
+        # Newest chain correction not yet absorbed by in-flight frames
+        # (seq, corrected_pose_dev); see track_one_async.on_fetch.
+        self._chain_repair = None
         self.device_mesh = None
         if n_devices is not None and n_devices > 1:
             from ..parallel.sharding import make_device_mesh
@@ -178,27 +240,7 @@ class FoundationPose:
         self.pts = jnp.asarray(pts, dtype=jnp.float32)
         self.normals = jnp.asarray(normals, dtype=jnp.float32)
         self.mesh = mesh
-        render_mesh_src = mesh
-        if self.cfg.vertex_color_render and mesh.has_texture:
-            from ..meshio import texture_to_vertex_colors
-
-            render_mesh_src = texture_to_vertex_colors(mesh)
-        if (
-            self.cfg.max_render_faces is not None
-            and len(mesh.faces) > self.cfg.max_render_faces
-        ):
-            from ..meshio import decimate_vertex_clustering
-
-            vox = self.diameter / 160.0  # crop-pixel scale
-            render_mesh_src = decimate_vertex_clustering(mesh, vox)
-            while len(render_mesh_src.faces) > self.cfg.max_render_faces:
-                vox *= 1.4
-                render_mesh_src = decimate_vertex_clustering(mesh, vox)
-            logger.info(
-                "render mesh decimated: %d -> %d faces",
-                len(mesh.faces),
-                len(render_mesh_src.faces),
-            )
+        render_mesh_src = prepare_render_mesh(mesh, self.cfg, self.diameter)
         self.mesh_tensors = make_mesh_tensors(render_mesh_src, self.cfg.max_tex_size)
         # Device-resident scalar: avoids a per-frame small-array upload
         # (~1 ms each through a tunneled chip) on the tracking hot path.
@@ -304,6 +346,7 @@ class FoundationPose:
             pass
         self.best_id = int(order[0])
         self._pose_hint = np.asarray(self.pose_last, dtype=np.float64)
+        self._chain_repair = None  # fresh chain
         if self.debug >= 2 and self.debug_dir:
             from ..utils.debug_vis import dump_register_debug
 
@@ -392,26 +435,9 @@ class FoundationPose:
         return x0, y0, size
 
     def _roi_contains_pose(self, raw_pose, K, H, W, roi) -> bool:
-        """Was the crop window implied by `raw_pose` (centered-mesh
-        frame, full-frame K) inside the streamed ROI, up to the
-        stencil-filter halo? The window is first clipped to the image:
-        pixels past the border zero-sample identically in full-frame
-        mode, so only in-image excursions count as violations."""
-        x0, y0, size = roi
-        t = raw_pose[:3, 3]
-        z = float(t[2])
-        if z <= 1e-6:
-            return False
-        f = float(max(K[0, 0], K[1, 1]))
-        halo = 4.0  # erode(r=2) + bilateral(r=2) support
-        half = f * (self.diameter * self.cfg.refiner.crop_ratio) / z / 2 + halo
-        u = float(K[0, 0] * t[0] / z + K[0, 2])
-        v = float(K[1, 1] * t[1] / z + K[1, 2])
-        lo_u, hi_u = max(u - half, 0.0), min(u + half, float(W))
-        lo_v, hi_v = max(v - half, 0.0), min(v + half, float(H))
-        return (
-            lo_u >= x0 and hi_u <= x0 + size
-            and lo_v >= y0 and hi_v <= y0 + size
+        """See module-level :func:`roi_contains_pose`."""
+        return roi_contains_pose(
+            raw_pose, K, H, W, roi, self.diameter, self.cfg.refiner.crop_ratio
         )
 
     def track_one_async(self, rgb, depth, K, iteration=2) -> TrackResult:
@@ -426,8 +452,13 @@ class FoundationPose:
         transfers; each fetch verifies the refined pose's crop window was
         contained in the streamed window and transparently re-runs the
         frame full-frame when the object outran it (first such recovery
-        compiles the full-frame bucket). Poses match sequential
-        ``track_one`` calls; only fetch timing changes.
+        compiles the full-frame bucket). A correction also CASCADES
+        through frames already in flight — each successor re-runs
+        full-frame from the corrected chain on fetch — so poses match
+        sequential ``track_one`` calls provided results are fetched in
+        dispatch order. Dropping futures or fetching out of order breaks
+        the cascade (a warning is logged); per-frame containment
+        checking still applies.
         """
         from .graph import track_graph
 
@@ -467,7 +498,36 @@ class FoundationPose:
         except AttributeError:  # tracers / sharded arrays without the method
             pass
 
+        def rerun_full_frame(from_pose, _self=self):
+            return track_graph(
+                _self.refiner_params, _self.cfg, _self.mesh_tensors,
+                from_pose, jnp.asarray(K_full),
+                jnp.asarray(rgb_full, dtype=jnp.uint8),
+                jnp.asarray(depth_full, dtype=jnp.float32),
+                _self._diam_dev, iterations=iters,
+            )
+
         def on_fetch(raw, _self=self):
+            repair = getattr(_self, "_chain_repair", None)
+            if repair is not None and repair[0] == seq - 1:
+                # The predecessor was corrected AFTER this frame
+                # dispatched: this frame chained from a stale pose.
+                # Recompute full-frame from the corrected chain,
+                # cascading the correction through the pipeline.
+                pose2 = rerun_full_frame(repair[1])
+                raw2 = np.asarray(pose2, dtype=np.float64).reshape(4, 4)
+                _self._pose_hint = raw2
+                _self._chain_repair = (seq, pose2)
+                if _self._track_seq == seq:
+                    _self.pose_last = pose2
+                    _self._chain_repair = None  # chain fully repaired
+                return raw2
+            if repair is not None and repair[0] < seq - 1:
+                logger.warning(
+                    "tracking chain correction could not cascade "
+                    "(results fetched out of dispatch order?)"
+                )
+                _self._chain_repair = None
             _self._pose_hint = raw
             if roi is None or _self._roi_contains_pose(
                 raw, K_full, H, W, roi
@@ -483,20 +543,15 @@ class FoundationPose:
                 "tracking ROI violated (object outran the window); "
                 "re-running frame full-frame"
             )
-            pose2 = track_graph(
-                _self.refiner_params, _self.cfg, _self.mesh_tensors,
-                pose_in, jnp.asarray(K_full),
-                jnp.asarray(rgb_full, dtype=jnp.uint8),
-                jnp.asarray(depth_full, dtype=jnp.float32),
-                _self._diam_dev, iterations=iters,
-            )
+            pose2 = rerun_full_frame(pose_in)
             raw2 = np.asarray(pose2, dtype=np.float64).reshape(4, 4)
             _self._pose_hint = raw2
+            _self._chain_repair = (seq, pose2)
             if _self._track_seq == seq:
                 # No newer frame dispatched yet: repair the on-device
-                # chain too. (Frames already in flight keep the stale
-                # pose; their own fetches re-verify containment.)
+                # chain too.
                 _self.pose_last = pose2
+                _self._chain_repair = None
             return raw2
 
         return TrackResult(pose, self.get_tf_to_centered_mesh(), on_fetch)

@@ -149,8 +149,24 @@ def register_graph(
             mesh_diameter, valid=hyp_valid[keep_idx],
         )
         refined = refined1.at[keep_idx].set(sub_refined)
-        # -inf survivor scores (padded hyps) stay -inf through the offset
+        # Reported scores: survivors offset so callers see them above
+        # every pruned row (+1e5 quantizes f32 logits to ~0.008 steps —
+        # fine for REPORTING, monotone under rounding). The ORDER is
+        # computed exactly below, never through the offset values, so
+        # near-tied survivors rank exactly as the network scored them.
         scores = pre.at[keep_idx].set(sub_scores + 1e5)
+        surv_order_local = jnp.argsort(
+            -jnp.where(hyp_valid[keep_idx], sub_scores, -jnp.inf)
+        )
+        surv_ids = keep_idx[surv_order_local]
+        # Non-survivors: valid rows by depth score desc, then invalid.
+        # Invalid rows get a most-negative FINITE key so they still sort
+        # above the -inf-masked survivor rows — the first N-keep entries
+        # are then exactly the non-survivors.
+        rest_key = jnp.where(hyp_valid, pre, jnp.float32(-3e38))
+        rest_key = rest_key.at[keep_idx].set(-jnp.inf)
+        rest_ids = jnp.argsort(-rest_key)[: n_hyp - cfg.prune_keep]
+        order = jnp.concatenate([surv_ids, rest_ids])
     else:
         refined = refine_poses(
             refiner_params, cfg.refiner, mesh, poses, K, rgb, xyz_map,
@@ -160,7 +176,7 @@ def register_graph(
             scorer_params, cfg.scorer, mesh, refined, K, rgb, xyz_map,
             mesh_diameter, valid=hyp_valid,
         )
-    order = jnp.argsort(-scores)
+        order = jnp.argsort(-scores)
     return order, refined[order], scores[order], center, n_valid
 
 

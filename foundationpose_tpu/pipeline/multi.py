@@ -42,7 +42,7 @@ from ..models.networks import init_refine_net
 from ..ops.depth_filters import bilateral_filter_depth, erode_depth
 from .config import EstimatorCfg
 from .crops import make_crop_inputs
-from .estimator import FoundationPose
+from .estimator import FoundationPose, prepare_render_mesh, roi_contains_pose
 from .mesh_tensors import MeshTensors, make_mesh_tensors
 from .refiner import apply_pose_delta
 
@@ -263,6 +263,10 @@ class MultiTracker:
         # track_roi_margin absorbs — violations recover full-frame).
         self._pose_hints: np.ndarray | None = None
         self._track_seq = 0
+        # (seq, corrected_poses_dev) of the newest chain correction that
+        # in-flight successor frames have not absorbed yet; fetches
+        # cascade it forward (see track_async.on_fetch).
+        self._chain_repair: tuple[int, jax.Array] | None = None
         for mesh in meshes or ():
             self.add_object(mesh)
 
@@ -278,22 +282,7 @@ class MultiTracker:
         mesh = mesh.copy()
         mesh.vertices = mesh.vertices - center.reshape(1, 3)
         diameter = compute_mesh_diameter(mesh.vertices)
-        render_src = mesh
-        if self.cfg.vertex_color_render and mesh.has_texture:
-            from ..meshio import texture_to_vertex_colors
-
-            render_src = texture_to_vertex_colors(mesh)
-        if (
-            self.cfg.max_render_faces is not None
-            and len(mesh.faces) > self.cfg.max_render_faces
-        ):
-            from ..meshio import decimate_vertex_clustering
-
-            vox = diameter / 160.0
-            render_src = decimate_vertex_clustering(mesh, vox)
-            while len(render_src.faces) > self.cfg.max_render_faces:
-                vox *= 1.4
-                render_src = decimate_vertex_clustering(mesh, vox)
+        render_src = prepare_render_mesh(mesh, self.cfg, diameter)
         tf = np.eye(4)
         tf[:3, 3] = -center
         self.mesh_tensors.append(
@@ -312,11 +301,33 @@ class MultiTracker:
         the natural hand-off after per-object ``register()`` calls."""
         if not estimators:
             raise ValueError("need at least one estimator")
+        first = estimators[0]
         for est in estimators:
             if est.pose_last is None:
                 raise RuntimeError(
                     "all estimators must be registered (pose_last set) "
                     "before building a MultiTracker"
+                )
+            # All objects share ONE refiner: the delta parameterization,
+            # crop geometry and weights must agree or poses silently
+            # diverge from the per-object trackers.
+            if est.cfg.refiner != first.cfg.refiner:
+                raise ValueError(
+                    "estimators have different refiner configs "
+                    "(delta rep / crop geometry / net) — MultiTracker "
+                    "runs one shared refiner for every object"
+                )
+            if est.has_refiner != first.has_refiner:
+                raise ValueError(
+                    "estimators disagree on has_refiner (some have real "
+                    "weights, some are random-init)"
+                )
+            if est.refiner_params is not first.refiner_params:
+                logger.warning(
+                    "estimators carry different refiner_params objects; "
+                    "MultiTracker uses estimators[0]'s weights for ALL "
+                    "objects (identical weights loaded separately are "
+                    "fine; different checkpoints are not)"
                 )
         t = cls(
             meshes=None,
@@ -353,6 +364,7 @@ class MultiTracker:
         )
         self.poses_last = jnp.asarray(raw, dtype=jnp.float32)
         self._pose_hints = raw
+        self._chain_repair = None  # fresh chain
         self._upload_diameters()
 
     # ------------------------------------------------------ ROI windows
@@ -388,24 +400,10 @@ class MultiTracker:
         return x0s, y0s, size
 
     def _roi_contains(self, raw_pose, m, K, H, W, x0, y0, size) -> bool:
-        """Single-object containment check (estimator._roi_contains_pose
-        semantics) for object m's window."""
-        t = raw_pose[:3, 3]
-        z = float(t[2])
-        if z <= 1e-6:
-            return False
-        f = float(max(K[0, 0], K[1, 1]))
-        halo = 4.0  # erode(r=2) + bilateral(r=2) support
-        half = (
-            f * (self.diameters[m] * self.cfg.refiner.crop_ratio) / z / 2 + halo
-        )
-        u = float(K[0, 0] * t[0] / z + K[0, 2])
-        v = float(K[1, 1] * t[1] / z + K[1, 2])
-        lo_u, hi_u = max(u - half, 0.0), min(u + half, float(W))
-        lo_v, hi_v = max(v - half, 0.0), min(v + half, float(H))
-        return (
-            lo_u >= x0 and hi_u <= x0 + size
-            and lo_v >= y0 and hi_v <= y0 + size
+        """Shared containment predicate, per-object diameter."""
+        return roi_contains_pose(
+            raw_pose, K, H, W, (x0, y0, size),
+            self.diameters[m], self.cfg.refiner.crop_ratio,
         )
 
     # --------------------------------------------------------- tracking
@@ -420,8 +418,13 @@ class MultiTracker:
         static-size windows around the objects ship per frame (exact via
         per-object principal-point-shifted K); each fetch verifies every
         object's crop window was contained in its streamed window and
-        re-runs the frame full-frame when any object outran it, so poses
-        always match full-frame tracking."""
+        re-runs the frame full-frame when any object outran it. A
+        correction also CASCADES through frames already in flight (each
+        successor re-runs full-frame from the corrected chain on fetch),
+        so poses match full-frame tracking provided results are fetched
+        in dispatch order — which every driver here does. Dropping
+        futures or fetching out of order breaks the cascade (a warning
+        is logged); per-frame containment checking still applies."""
         if self.poses_last is None:
             raise RuntimeError("seed poses first (set_poses / from_estimators)")
         if not hasattr(self, "_diam_dev"):
@@ -478,7 +481,39 @@ class MultiTracker:
         except AttributeError:
             pass
 
+        def rerun_full_frame(from_poses, _self=self):
+            return multi_track_graph(
+                _self.refiner_params, _self.cfg, meshes, from_poses,
+                jnp.asarray(K_full), jnp.asarray(rgb, dtype=jnp.uint8),
+                jnp.asarray(depth, dtype=jnp.float32), _self._diam_dev,
+                iterations=iters,
+            )
+
         def on_fetch(raw, _self=self):
+            repair = _self._chain_repair
+            if repair is not None and repair[0] == seq - 1:
+                # The predecessor frame was corrected AFTER this frame
+                # dispatched: this frame's inputs chained from a stale
+                # pose block. Recompute it full-frame from the corrected
+                # chain (full-frame parity needs no containment check),
+                # cascading the correction through the pipeline.
+                poses2 = rerun_full_frame(repair[1])
+                raw2 = np.asarray(poses2, dtype=np.float64)
+                _self._pose_hints = raw2
+                _self._chain_repair = (seq, poses2)
+                if _self._track_seq == seq:
+                    _self.poses_last = poses2
+                    _self._chain_repair = None  # chain fully repaired
+                return raw2
+            if repair is not None and repair[0] < seq - 1:
+                # A future was dropped or fetched out of order: the
+                # correction cannot cascade. Per-frame containment
+                # checking below still bounds the damage.
+                logger.warning(
+                    "multi-tracking chain correction could not cascade "
+                    "(results fetched out of dispatch order?)"
+                )
+                _self._chain_repair = None
             _self._pose_hints = raw
             if roi is None:
                 return None
@@ -493,17 +528,14 @@ class MultiTracker:
                 "multi-tracking ROI violated (an object outran its window); "
                 "re-running frame full-frame"
             )
-            poses2 = multi_track_graph(
-                _self.refiner_params, _self.cfg, meshes, pose_in,
-                jnp.asarray(K_full), jnp.asarray(rgb, dtype=jnp.uint8),
-                jnp.asarray(depth, dtype=jnp.float32), _self._diam_dev,
-                iterations=iters,
-            )
+            poses2 = rerun_full_frame(pose_in)
             raw2 = np.asarray(poses2, dtype=np.float64)
             _self._pose_hints = raw2
+            _self._chain_repair = (seq, poses2)
             if _self._track_seq == seq:
                 # No newer frame dispatched: repair the device chain too.
                 _self.poses_last = poses2
+                _self._chain_repair = None
             return raw2
 
         return MultiTrackResult(

@@ -203,3 +203,26 @@ class TestMultiTrackerROI:
         out2_roi = roi.track(rgb, depth, K, iteration=1)
         out2_full = full.track(rgb, depth, K, iteration=1)
         np.testing.assert_allclose(out2_roi, out2_full, atol=1e-5)
+
+    def test_roi_violation_cascades_through_pipeline(self, setup):
+        """Frames in flight when a violation is detected re-run from the
+        corrected chain on fetch (cascade), keeping pipelined multi
+        tracking at full-frame parity."""
+        meshes, poses, cfg, params, ests, rgb, depth = setup
+        full = MultiTracker(meshes=meshes, cfg=_cfg(), refiner_params=params)
+        full.set_poses(np.stack(poses))
+        f1 = full.track(rgb, depth, K, iteration=1)
+        f2 = full.track(rgb, depth, K, iteration=1)
+
+        roi = MultiTracker(meshes=meshes, cfg=self._roi_cfg(), refiner_params=params)
+        roi.set_poses(np.stack(poses))
+        bad = roi._pose_hints.copy()
+        bad[1, 0, 3] -= 0.35
+        roi._pose_hints = bad
+        futA = roi.track_async(rgb, depth, K, iteration=1)
+        futB = roi.track_async(rgb, depth, K, iteration=1)
+        pA = futA.result()
+        pB = futB.result()
+        np.testing.assert_allclose(pA, f1, atol=1e-5)
+        np.testing.assert_allclose(pB, f2, atol=1e-5)
+        assert roi._chain_repair is None  # chain fully repaired

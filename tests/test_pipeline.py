@@ -255,6 +255,49 @@ class TestTrack:
         # and the hint was refreshed from the full-frame result
         assert np.linalg.norm(e._pose_hint[:3, 3] - stale[:3, 3]) > 0.1
 
+    def test_track_roi_violation_cascades_through_pipeline(self, caplog):
+        """With frames in flight when a violation is detected, the
+        correction must cascade: each successor re-runs full-frame from
+        the corrected chain on fetch, so pipelined poses still equal
+        sequential full-frame tracking."""
+        import dataclasses
+        import logging
+
+        mesh = colored_box()
+        params = zero_refiner_heads(
+            init_refine_net(jax.random.PRNGKey(5), tiny_cfg().refiner.net)
+        )
+        gt = np.eye(4)
+        gt[:3, 3] = [0.04, -0.03, 1.25]
+        rgb, depth, mask = synth_frame(mesh, gt)
+
+        cfg_full = dataclasses.replace(tiny_cfg(), track_roi=False)
+        e_full = FoundationPose(mesh=mesh, cfg=cfg_full, refiner_params=params)
+        e_full.register(K, rgb, depth, mask, iteration=1)
+        f1 = e_full.track_one(rgb, depth, K, iteration=1)
+        f2 = e_full.track_one(rgb, depth, K, iteration=1)
+
+        e = FoundationPose(mesh=mesh, cfg=tiny_cfg(), refiner_params=params)
+        e.register(K, rgb, depth, mask, iteration=1)
+        stale = e._pose_hint.copy()
+        stale[:3, 3] = [-0.25, 0.2, 1.25]
+        e._pose_hint = stale
+        # dispatch BOTH frames before fetching either: frame B chains
+        # from frame A's (stale-window) device pose
+        futA = e.track_one_async(rgb, depth, K, iteration=1)
+        futB = e.track_one_async(rgb, depth, K, iteration=1)
+        with caplog.at_level(logging.WARNING):
+            pA = futA.result()
+            pB = futB.result()
+        assert any("ROI violated" in r.message for r in caplog.records)
+        np.testing.assert_allclose(pA, f1, atol=1e-5)
+        np.testing.assert_allclose(pB, f2, atol=1e-5)
+        assert e._chain_repair is None  # chain fully repaired
+        # and the device chain continues from the corrected pose
+        p3 = e.track_one(rgb, depth, K, iteration=1)
+        f3 = e_full.track_one(rgb, depth, K, iteration=1)
+        np.testing.assert_allclose(p3, f3, atol=1e-5)
+
     def test_track_async_pipelined_matches_sequential(self, est):
         """Dispatching k frames ahead before fetching (track_one_async)
         returns the same poses as blocking track_one calls."""
