@@ -12,6 +12,17 @@ import jax
 
 jax.config.update("jax_default_matmul_precision", "float32")
 
+# This build's TPU plugin overrides the standard JAX_PLATFORMS env var
+# during backend discovery; restore normal JAX semantics so
+# `JAX_PLATFORMS=cpu python examples/...` works (and doesn't hang when
+# the TPU tunnel is unreachable). Only applied before backends init.
+_platforms = os.environ.get("JAX_PLATFORMS")
+if _platforms:
+    try:
+        jax.config.update("jax_platforms", _platforms)
+    except Exception:
+        pass
+
 # XLA compilation on this host is very slow (single CPU core); persist
 # compiled executables across processes.
 _cache_dir = os.environ.get(
