@@ -329,18 +329,31 @@ class MultiTracker:
                     "objects (identical weights loaded separately are "
                     "fine; different checkpoints are not)"
                 )
+        def unshard(tree):
+            # Estimators registered with n_devices>1 carry replicated
+            # mesh tensors / sharded pose arrays; tracking has no
+            # hypothesis axis to shard, so pull everything onto the
+            # default single device (meshes are small).
+            return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), tree)
+
+        refiner_params = first.refiner_params
+        if first.device_mesh is not None:
+            refiner_params = unshard(refiner_params)
         t = cls(
             meshes=None,
-            cfg=cfg or estimators[0].cfg,
-            refiner_params=estimators[0].refiner_params,
+            cfg=cfg or first.cfg,
+            refiner_params=refiner_params,
         )
-        t.has_refiner = estimators[0].has_refiner
+        t.has_refiner = first.has_refiner
         for est in estimators:
-            t.mesh_tensors.append(est.mesh_tensors)
+            mt = est.mesh_tensors
+            if est.device_mesh is not None:
+                mt = unshard(mt)
+            t.mesh_tensors.append(mt)
             t.diameters.append(float(est.diameter))
             t.tf_to_centered.append(est.get_tf_to_centered_mesh())
         t.poses_last = jnp.stack(
-            [jnp.asarray(e.pose_last, jnp.float32) for e in estimators]
+            [jnp.asarray(np.asarray(e.pose_last), jnp.float32) for e in estimators]
         )
         t._pose_hints = np.asarray(t.poses_last, dtype=np.float64)
         t._upload_diameters()

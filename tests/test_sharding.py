@@ -198,3 +198,35 @@ def test_register_funneling_sharded_matches_single():
     est8 = FoundationPose(mesh=mesh, cfg=cfg, refiner_params=params, n_devices=8)
     p8 = est8.register(K, rgb, depth, mask, iteration=2)
     np.testing.assert_allclose(p8, p1, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_multitracker_from_sharded_estimator():
+    """A hypothesis-sharded register hand-off: MultiTracker.from_estimators
+    unshards the replicated mesh/pose/params onto the default device and
+    tracks identically to the single-device flow."""
+    from foundationpose_tpu.pipeline import FoundationPose
+    from foundationpose_tpu.pipeline.multi import MultiTracker
+    from tests.test_pipeline import (
+        colored_box, synth_frame, tiny_cfg, zero_refiner_heads, K,
+    )
+    from foundationpose_tpu.models.networks import init_refine_net
+
+    mesh = colored_box()
+    gt = np.eye(4)
+    gt[:3, 3] = [0.01, -0.02, 0.85]
+    rgb, depth, mask = synth_frame(mesh, gt)
+    cfg = tiny_cfg()
+    params = zero_refiner_heads(
+        init_refine_net(jax.random.PRNGKey(0), cfg.refiner.net)
+    )
+    est1 = FoundationPose(mesh=mesh, cfg=cfg, refiner_params=params)
+    est1.register(K, rgb, depth, mask, iteration=1)
+    est8 = FoundationPose(mesh=mesh, cfg=cfg, refiner_params=params, n_devices=8)
+    est8.register(K, rgb, depth, mask, iteration=1)
+
+    t1 = MultiTracker.from_estimators([est1])
+    t8 = MultiTracker.from_estimators([est8])
+    p1 = t1.track(rgb, depth, K, iteration=1)
+    p8 = t8.track(rgb, depth, K, iteration=1)
+    np.testing.assert_allclose(p8, p1, atol=1e-4)
