@@ -315,6 +315,46 @@ def _sample_texture(tex: jax.Array, uv: jax.Array) -> jax.Array:
     return top * (1 - fy) + bot * fy
 
 
+def _pack_texture_quads(tex: jax.Array) -> jax.Array:
+    """(Ht, Wt, C) -> (Ht*Wt, 4C): row y*Wt+x holds the 2x2 texel quad
+    at (y, x) with edge-clamped right/bottom neighbors.
+
+    TPU gather cost is per fetched row, nearly independent of row width
+    (same observation that drives the hash grid's oct layout,
+    ops/hashgrid.py), so packing the four bilinear taps into one row
+    turns per-pixel texture sampling from 4 gathers into 1."""
+    t00 = tex
+    t01 = jnp.concatenate([tex[:, 1:], tex[:, -1:]], axis=1)
+    t10 = jnp.concatenate([tex[1:], tex[-1:]], axis=0)
+    t11 = jnp.concatenate([t01[1:], t01[-1:]], axis=0)
+    quad = jnp.concatenate([t00, t01, t10, t11], axis=-1)
+    return quad.reshape(tex.shape[0] * tex.shape[1], -1)
+
+
+def _sample_texture_quad(
+    tex_quad: jax.Array, ht_wt: tuple[int, int], uv: jax.Array
+) -> jax.Array:
+    """Bilinear sample from a quad-packed table — ONE gather per pixel.
+
+    Exactly _sample_texture's clamp convention: clamping the continuous
+    coordinate into [0, N-1] reproduces the per-tap clip (outside the
+    border both taps collapse to the edge texel; at x0 = N-1 the quad's
+    clamped neighbor makes the fx weighting a no-op)."""
+    Ht, Wt = ht_wt
+    C = tex_quad.shape[-1] // 4
+    x = jnp.clip(uv[..., 0] * Wt - 0.5, 0.0, Wt - 1.0)
+    y = jnp.clip(uv[..., 1] * Ht - 0.5, 0.0, Ht - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    flat = y0.astype(jnp.int32) * Wt + x0.astype(jnp.int32)
+    q = tex_quad[flat.reshape(-1)].reshape(*x.shape, 4 * C)
+    top = q[..., 0:C] * (1 - fx) + q[..., C : 2 * C] * fx
+    bot = q[..., 2 * C : 3 * C] * (1 - fx) + q[..., 3 * C :] * fx
+    return top * (1 - fy) + bot * fy
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -443,6 +483,8 @@ def render_mesh(
     if uv is not None:
         uv = uv.astype(jnp.float32)
         tex = tex.astype(jnp.float32)
+        tex_quad = _pack_texture_quads(tex)  # 1-gather bilinear table
+        tex_hw = (tex.shape[0], tex.shape[1])
 
     R_all = poses[:, :3, :3]
 
@@ -500,7 +542,9 @@ def render_mesh(
         (color, xyz, normal, mask) image tensors."""
         xyz = jnp.where(m[:, None], interp[:, 2:5], 0.0)
         if uv is not None:
-            color = _sample_texture(tex, interp[:, c_col : c_col + 2])
+            color = _sample_texture_quad(
+                tex_quad, tex_hw, interp[:, c_col : c_col + 2]
+            )
         elif vertex_color is not None:
             color = interp[:, c_col : c_col + 3]
         else:
@@ -652,7 +696,7 @@ def render_mesh(
         if col_f is not None:
             if uv is not None:
                 color = jax.vmap(
-                    lambda a: _sample_texture(tex, a[:, :2])
+                    lambda a: _sample_texture_quad(tex_quad, tex_hw, a[:, :2])
                 )(attrs)
             else:
                 color = attrs[..., :3]

@@ -287,6 +287,30 @@ class TestTexture:
         np.testing.assert_allclose(c[32, 16], [1, 0, 0], atol=0.05)
         np.testing.assert_allclose(c[32, 48], [0, 0, 1], atol=0.05)
 
+    def test_quad_packed_sampler_matches_four_tap(self):
+        """The 1-gather quad-packed bilinear sampler (hot path) must
+        reproduce the 4-tap reference exactly, including the clamp
+        convention outside [0, 1] and on the border rows."""
+        from foundationpose_tpu.ops.rasterizer import (
+            _pack_texture_quads, _sample_texture, _sample_texture_quad,
+        )
+
+        rng = np.random.default_rng(0)
+        tex = jnp.asarray(rng.uniform(0, 1, (13, 9, 3)).astype(np.float32))
+        uv = rng.uniform(-0.2, 1.2, (500, 2)).astype(np.float32)
+        # exact texel centers/corners and borders too
+        edges = np.array(
+            [[0, 0], [1, 1], [0, 1], [1, 0], [0.5, 0.5],
+             [1 / 18, 1 / 26], [17 / 18, 25 / 26], [-0.1, 0.5], [0.5, 1.1]],
+            dtype=np.float32,
+        )
+        uv = jnp.asarray(np.concatenate([uv, edges]))
+        ref = _sample_texture(tex, uv)
+        quad = _sample_texture_quad(
+            _pack_texture_quads(tex), (13, 9), uv
+        )
+        np.testing.assert_allclose(np.asarray(quad), np.asarray(ref), atol=1e-6)
+
 
 class TestPallasPath:
     def test_pallas_matches_binned(self):
