@@ -254,3 +254,19 @@ class TestTrainedNetworkRegistration:
         assert err_net <= err_depth + 0.005, (err_net, err_depth)
         # the network put a near-best refined hypothesis on top
         assert rank_net <= 3, rank_net
+
+        # Decision-level funneling check with the TRAINED nets: pruning
+        # to 64 of 252 after 2 iterations must not degrade the final
+        # pose (the winner stays a survivor on this synthetic scene).
+        cfg_p = EstimatorCfg(
+            refiner=rcfg, scorer=dataclasses.replace(scfg, mode="network"),
+            prune_after_iter=2, prune_keep=64,
+        )
+        est_p = FoundationPose(
+            mesh=mesh, cfg=cfg_p, refiner_params=rparams,
+            scorer_params=sparams,
+        )
+        pose_p = est_p.register(K, rgb, depth, mask, iteration=5)
+        err_p = adds_err(pose_p, gt, mesh.vertices)
+        assert err_p < 0.06, f"funneled ADD-S {err_p}"
+        assert err_p <= err_net + 0.01, (err_p, err_net)
