@@ -312,11 +312,17 @@ def _seg_add_factored_kernel(
                     C + c : C + c + 1, :
                 ].astype(jnp.float32)
                 p = wq * gc  # exact: bf16 x ~bf16-pair in f32
-                p_hi16 = p.astype(jnp.bfloat16)
-                exp_hi.append(p_hi16)
-                exp_lo.append(
-                    (p - p_hi16.astype(jnp.float32)).astype(jnp.bfloat16)
+                # hi part by mantissa bit-masking (same hazard as
+                # _hi_lo_split: dtype rounding `p - f32(bf16(p))` is
+                # elided under --xla_allow_excess_precision, zeroing
+                # the lo plane — observed in interpret mode).
+                p_hi_f32 = jax.lax.bitcast_convert_type(
+                    jax.lax.bitcast_convert_type(p, jnp.uint32)
+                    & jnp.uint32(0xFFFF0000),
+                    jnp.float32,
                 )
+                exp_hi.append(p_hi_f32.astype(jnp.bfloat16))  # exact
+                exp_lo.append((p - p_hi_f32).astype(jnp.bfloat16))
         upd = jnp.concatenate(exp_hi + exp_lo, axis=0)  # (2*cdim, span)
         return jax.lax.dot_general(
             upd, oh, (((1,), (1,)), ((), ())),

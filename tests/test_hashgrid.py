@@ -150,7 +150,12 @@ class TestCustomVJP:
 
         de, dx = jax.grad(f, argnums=(0, 1))(emb, x)
         de_ref, dx_ref = self._autodiff_reference(emb, x, g)
-        np.testing.assert_allclose(np.asarray(de), np.asarray(de_ref), atol=1e-5)
+        # atol covers true zeros; rtol covers f32 accumulation-order
+        # differences between the Pallas segment-add and XLA's autodiff
+        # sum on O(1) gradient values (observed rel diff up to ~6e-6).
+        np.testing.assert_allclose(
+            np.asarray(de), np.asarray(de_ref), atol=1e-5, rtol=2e-5
+        )
         np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), atol=1e-3, rtol=1e-3)
 
     def test_grad_x_finite_difference(self):
