@@ -116,7 +116,9 @@ class TestWarp:
             out_s = np.asarray(
                 warp_perspective(jnp.asarray(imgs[i]), jnp.asarray(M[i : i + 1]), (10, 10))
             )[0]
-            np.testing.assert_allclose(out_b[i], out_s, atol=1e-6)
+            # atol admits TPU f32 accumulation differences (~7.5e-6 seen
+            # on-chip); both paths are valid f32 evaluations of the warp.
+            np.testing.assert_allclose(out_b[i], out_s, atol=2e-5)
 
 
 class TestWarpCrop:
@@ -135,7 +137,7 @@ class TestWarpCrop:
         )
         a = np.asarray(warp_perspective(jnp.asarray(img), jnp.asarray(M), (16, 16)))
         b = np.asarray(warp_crop(jnp.asarray(img), jnp.asarray(M), (16, 16)))
-        np.testing.assert_allclose(b, a, atol=1e-5)
+        np.testing.assert_allclose(b, a, atol=2e-5)
 
     def test_matches_general_warp_nearest(self):
         import jax.numpy as jnp
@@ -150,7 +152,7 @@ class TestWarpCrop:
         b = np.asarray(
             warp_crop(jnp.asarray(img), jnp.asarray(M), (12, 12), mode="nearest")
         )
-        np.testing.assert_allclose(b, a, atol=1e-6)
+        np.testing.assert_allclose(b, a, atol=2e-5)
 
     def test_out_of_bounds_zero(self):
         import jax.numpy as jnp
