@@ -176,6 +176,98 @@ def parity_gate(mesh, K) -> dict:
     }
 
 
+def measure_tunnel_rtt_ms(n: int = 20) -> float:
+    """Median host<->device round trip of a trivial 1-element fetch.
+
+    On this environment's RPC-tunneled chip the RTT varies run to run
+    (observed 10-35 ms); recording it makes tracking-FPS numbers
+    comparable across BENCH artifacts (round 3's 55->15 FPS episode was
+    unattributable without it)."""
+    import jax
+    import jax.numpy as jnp
+
+    one = jnp.zeros(())
+    jax.block_until_ready(one)
+    rtts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(jnp.asarray(one) + 1.0)
+        rtts.append(time.perf_counter() - t0)
+    return float(np.median(rtts)) * 1000.0
+
+
+def stage_breakdown(est, K, n_hyp):
+    """Approximate per-stage register costs, each stage jitted alone with
+    a scalar-reduced output (tools/profile_stages.py method): hypothesis
+    render (per refine iteration), RefineNet forward, ScoreNet forward —
+    plus the RefineNet's achieved TFLOP/s from the compiled executable's
+    own cost analysis. Purely diagnostic; the headline number stays the
+    fused end-to-end register time."""
+    import jax
+    import jax.numpy as jnp
+
+    from foundationpose_tpu.geometry.projection import compute_crop_window_tf
+    from foundationpose_tpu.models.networks import (
+        apply_refine_net,
+        apply_score_net,
+    )
+    from foundationpose_tpu.ops import render_mesh
+
+    def timeit(fn, n=5):
+        jax.block_until_ready(fn())
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)) * 1000.0
+
+    mt = est.mesh_tensors
+    rcfg = est.cfg.refiner
+    res = rcfg.input_res
+    poses = np.asarray(est.rot_grid).copy()
+    poses[:, :3, 3] = [0.02, -0.01, 0.9]
+    posesj = jnp.asarray(poses[:n_hyp])
+    Kj = jnp.asarray(K)
+    diam = jnp.float32(est.diameter)
+    tf = compute_crop_window_tf(posesj, Kj, rcfg.crop_ratio, res, diam)
+    r = rcfg.raster
+
+    def rsum(o):
+        return o.color.sum() + o.xyz.sum()
+
+    render_f = jax.jit(lambda: rsum(render_mesh(
+        mt.pos, mt.faces, posesj, Kj, out_hw=(res, res), crop_tf=tf,
+        uv=mt.uv, tex=mt.tex, vertex_color=mt.vertex_color,
+        vnormals=mt.vnormals, use_light=True, method="pallas",
+        tile=r.tile, max_faces_per_tile=r.max_faces_per_tile,
+        cull_backfaces=r.cull_backfaces)))
+    rng = np.random.default_rng(1)
+    c_in = 6 if not rcfg.use_normal else 9
+    A = jnp.asarray(rng.uniform(0, 1, (n_hyp, res, res, c_in)), jnp.float32)
+    B = jnp.asarray(rng.uniform(0, 1, (n_hyp, res, res, c_in)), jnp.float32)
+    refine_f = jax.jit(lambda a, b: sum(
+        v.sum() for v in apply_refine_net(
+            est.refiner_params, rcfg.net, a, b).values()))
+    score_f = jax.jit(lambda a, b: apply_score_net(
+        est.scorer_params, est.cfg.scorer.net, a, b).sum())
+    out = {
+        "stage_render_ms": round(timeit(render_f), 2),
+        "stage_refine_fwd_ms": round(timeit(lambda: refine_f(A, B)), 2),
+        "stage_score_fwd_ms": round(timeit(lambda: score_f(A, B)), 2),
+    }
+    try:
+        cost = refine_f.lower(A, B).compile().cost_analysis()
+        flops = float((cost or {}).get("flops", 0.0))
+        if flops > 0:
+            out["refine_fwd_tflops_per_s"] = round(
+                flops / (out["stage_refine_fwd_ms"] / 1000.0) / 1e12, 2
+            )
+    except Exception:  # cost analysis is best-effort, backend-dependent
+        pass
+    return out
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -260,26 +352,45 @@ def main():
     hyp_per_s = n_hyp / t
 
     # Secondary: tracking FPS (refine-only, 2 iterations/frame).
-    # Pipelined end-to-end: each frame ships fresh host inputs, dispatch
-    # of frame N+1 overlaps the fetch of frame N (track_one_async), so
-    # the host<->chip round trip amortizes instead of serializing.
+    # Pipelined end-to-end: each frame ships fresh host inputs packed
+    # into ONE buffer (cfg.track_pack), dispatch of frame N+1 overlaps
+    # the fetch of frame N (track_one_async), so the host<->chip round
+    # trip amortizes instead of serializing. The tunnel RTT, per-frame
+    # dispatch/fetch medians, and recovery counters are all recorded so
+    # the FPS number is attributable after the fact.
     from collections import deque
 
+    tunnel_rtt_ms = measure_tunnel_rtt_ms()
     est.track_one(rgb, depth, K, iteration=2)  # warmup/compile
+    est.track_stats = {"frames": 0, "roi_recoveries": 0, "chain_repairs": 0}
     n_track = 40
     frames = [
         (np.ascontiguousarray(rgb), np.ascontiguousarray(depth))
         for _ in range(n_track)
     ]  # distinct buffers -> real per-frame H2D transfers
     futs: deque = deque()
+    disp_s, fetch_s = [], []
     t0 = time.perf_counter()
     for frgb, fdepth in frames:
+        ta = time.perf_counter()
         futs.append(est.track_one_async(frgb, fdepth, K, iteration=2))
+        disp_s.append(time.perf_counter() - ta)
         if len(futs) > 3:
+            ta = time.perf_counter()
             futs.popleft().result()
+            fetch_s.append(time.perf_counter() - ta)
     while futs:
+        ta = time.perf_counter()
         futs.popleft().result()
+        fetch_s.append(time.perf_counter() - ta)
     track_fps = n_track / (time.perf_counter() - t0)
+    track_diag = {
+        "tunnel_rtt_ms": round(tunnel_rtt_ms, 1),
+        "track_dispatch_ms": round(float(np.median(disp_s)) * 1000, 1),
+        "track_fetch_ms": round(float(np.median(fetch_s)) * 1000, 1),
+        "track_roi_recoveries": est.track_stats["roi_recoveries"],
+        "track_chain_repairs": est.track_stats["chain_repairs"],
+    }
 
     # Device-side tracking rate (async-queued, excludes the host<->chip
     # round-trip latency of this environment's RPC tunnel).
@@ -299,10 +410,19 @@ def main():
     device_track_fps = 20 / (time.perf_counter() - t0)
     import sys
 
+    stages = stage_breakdown(est, K, n_hyp)
+
     print(
         f"[secondary] tracking_fps={track_fps:.1f} end-to-end "
-        f"(device-rate {device_track_fps:.1f}; target >=30), "
-        f"register_s={t:.3f}",
+        f"(device-rate {device_track_fps:.1f}; target >=30; "
+        f"rtt {track_diag['tunnel_rtt_ms']} ms, dispatch "
+        f"{track_diag['track_dispatch_ms']} ms, fetch "
+        f"{track_diag['track_fetch_ms']} ms, recoveries "
+        f"{track_diag['track_roi_recoveries']}+"
+        f"{track_diag['track_chain_repairs']}), "
+        f"register_s={t:.3f} (render {stages['stage_render_ms']} ms/iter, "
+        f"refine fwd {stages['stage_refine_fwd_ms']} ms, score fwd "
+        f"{stages['stage_score_fwd_ms']} ms)",
         file=sys.stderr,
     )
 
@@ -314,6 +434,10 @@ def main():
                 "unit": "hyp/s (252-hyp, 5-iter registration)",
                 "vs_baseline": round(hyp_per_s / BASELINE_HYP_PER_S, 3),
                 "baseline_basis": BASELINE_BASIS,
+                "tracking_fps_end_to_end": round(track_fps, 1),
+                "tracking_fps_device": round(device_track_fps, 1),
+                **track_diag,
+                **stages,
                 **parity,
             }
         )

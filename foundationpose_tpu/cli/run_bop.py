@@ -50,7 +50,9 @@ def run_dataset(args):
             if est is None:
                 est = build_estimator(mesh, args)
             est.reset_object(mesh=mesh, symmetry_tfs=symmetry_tfs)
-            est.make_rotation_grid(min_n_views=40, inplane_step=60)
+            est.make_rotation_grid(
+                min_n_views=args.min_n_views, inplane_step=args.inplane_step
+            )
 
             for i in range(len(reader.color_files)):
                 if hasattr(reader, "is_keyframe") and not reader.is_keyframe(i):
@@ -105,13 +107,13 @@ def score_results(args):
                 pose = np.asarray(pose)
                 add.append(add_err(pose, gt, pts))
                 adds.append(adds_err(pose, gt, pts))
-    print(
-        {
-            "ADD_AUC": compute_auc(add),
-            "ADDS_AUC": compute_auc(adds),
-            "n": len(add),
-        }
-    )
+    out = {
+        "ADD_AUC": compute_auc(add),
+        "ADDS_AUC": compute_auc(adds),
+        "n": len(add),
+    }
+    print(out)
+    return out
 
 
 def main(argv=None):
@@ -120,6 +122,10 @@ def main(argv=None):
                         choices=["ycbv", "lmo", "lm", "tless", "hb", "tudl", "icbin", "itodd"])
     parser.add_argument("--out", type=str, default="bop_res.yml")
     parser.add_argument("--est_refine_iter", type=int, default=5)
+    parser.add_argument("--min_n_views", type=int, default=40,
+                        help="rotation-grid density (reference: 40)")
+    parser.add_argument("--inplane_step", type=int, default=60,
+                        help="in-plane rotation step deg (reference: 60)")
     parser.add_argument("--use_reconstructed_mesh", type=int, default=0)
     parser.add_argument("--ref_view_dir", type=str, default=None)
     parser.add_argument("--detect_type", type=str, default="mask_visib")
@@ -135,9 +141,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="[%(funcName)s()] %(message)s")
     if args.score:
-        score_results(args)
-    else:
-        run_dataset(args)
+        return score_results(args)
+    return run_dataset(args)
 
 
 if __name__ == "__main__":

@@ -90,6 +90,12 @@ class EstimatorCfg:
     # coarse. track_roi=False streams full frames.
     track_roi: bool = True
     track_roi_margin: float = 1.8
+    # Pack each tracking frame (rgb u8 + depth as u16 0.25 mm fixed point
+    # + ROI offset) into ONE flat buffer per frame before upload: a single
+    # host->device transfer instead of three, and ~45% fewer bytes.
+    # Quantization (<=0.125 mm) is far below sensor noise; False streams
+    # f32 depth unpacked.
+    track_pack: bool = True
     # Hypothesis funneling (OFF by default = reference-parity register):
     # refine ALL hypotheses for `prune_after_iter` iterations, rank them
     # with the weights-free depth-alignment score, then run the

@@ -171,6 +171,14 @@ class FoundationPose:
         # Newest chain correction not yet absorbed by in-flight frames
         # (seq, corrected_pose_dev); see track_one_async.on_fetch.
         self._chain_repair = None
+        # Device-resident full-frame K for the packed tracking upload,
+        # keyed by the host K's bytes (re-uploaded only when K changes).
+        self._K_cache: tuple[bytes, jax.Array] | None = None
+        # Diagnosability counters (reset by register): how many tracking
+        # frames were fetched, and how often the ROI-containment recovery
+        # / chain-repair machinery actually fired — so a recorded FPS
+        # number can be attributed after the fact.
+        self.track_stats = {"frames": 0, "roi_recoveries": 0, "chain_repairs": 0}
         self.device_mesh = None
         if n_devices is not None and n_devices > 1:
             from ..parallel.sharding import make_device_mesh
@@ -347,6 +355,7 @@ class FoundationPose:
         self.best_id = int(order[0])
         self._pose_hint = np.asarray(self.pose_last, dtype=np.float64)
         self._chain_repair = None  # fresh chain
+        self.track_stats = {"frames": 0, "roi_recoveries": 0, "chain_repairs": 0}
         if self.debug >= 2 and self.debug_dir:
             from ..utils.debug_vis import dump_register_debug
 
@@ -460,7 +469,7 @@ class FoundationPose:
         the cascade (a warning is logged); per-frame containment
         checking still applies.
         """
-        from .graph import track_graph
+        from .graph import pack_track_frame, track_graph, track_graph_packed
 
         if self.pose_last is None:
             raise RuntimeError("Please init pose by register() first")
@@ -472,24 +481,44 @@ class FoundationPose:
         pose_in = self.pose_last
         iters = int(iteration) if self.has_refiner else 0
         roi = self._track_roi_window(K, H, W)
+        x0 = y0 = 0
         if roi is not None:
             x0, y0, size = roi
             rgb = rgb[y0 : y0 + size, x0 : x0 + size]
             depth = depth[y0 : y0 + size, x0 : x0 + size]
-            K = K.copy()
-            K[0, 2] -= x0
-            K[1, 2] -= y0
-        pose = track_graph(
-            self.refiner_params,
-            self.cfg,
-            self.mesh_tensors,
-            pose_in,
-            jnp.asarray(K),
-            jnp.asarray(rgb, dtype=jnp.uint8),
-            jnp.asarray(depth, dtype=jnp.float32),
-            self._diam_dev,
-            iterations=iters,
-        )
+        if self.cfg.track_pack:
+            kb = K.tobytes()
+            if self._K_cache is None or self._K_cache[0] != kb:
+                self._K_cache = (kb, jnp.asarray(K))
+            buf = pack_track_frame(rgb, depth, x0, y0)
+            pose = track_graph_packed(
+                self.refiner_params,
+                self.cfg,
+                self.mesh_tensors,
+                pose_in,
+                self._K_cache[1],
+                jnp.asarray(buf),
+                self._diam_dev,
+                hw=depth.shape,
+                iterations=iters,
+            )
+        else:
+            Kr = K
+            if roi is not None:
+                Kr = K.copy()
+                Kr[0, 2] -= x0
+                Kr[1, 2] -= y0
+            pose = track_graph(
+                self.refiner_params,
+                self.cfg,
+                self.mesh_tensors,
+                pose_in,
+                jnp.asarray(Kr),
+                jnp.asarray(rgb, dtype=jnp.uint8),
+                jnp.asarray(depth, dtype=jnp.float32),
+                self._diam_dev,
+                iterations=iters,
+            )
         self.pose_last = pose
         self._track_seq = getattr(self, "_track_seq", 0) + 1
         seq = self._track_seq
@@ -499,6 +528,13 @@ class FoundationPose:
             pass
 
         def rerun_full_frame(from_pose, _self=self):
+            if _self.cfg.track_pack:
+                return track_graph_packed(
+                    _self.refiner_params, _self.cfg, _self.mesh_tensors,
+                    from_pose, _self._K_cache[1],
+                    jnp.asarray(pack_track_frame(rgb_full, depth_full, 0, 0)),
+                    _self._diam_dev, hw=depth_full.shape, iterations=iters,
+                )
             return track_graph(
                 _self.refiner_params, _self.cfg, _self.mesh_tensors,
                 from_pose, jnp.asarray(K_full),
@@ -508,12 +544,14 @@ class FoundationPose:
             )
 
         def on_fetch(raw, _self=self):
+            _self.track_stats["frames"] += 1
             repair = getattr(_self, "_chain_repair", None)
             if repair is not None and repair[0] == seq - 1:
                 # The predecessor was corrected AFTER this frame
                 # dispatched: this frame chained from a stale pose.
                 # Recompute full-frame from the corrected chain,
                 # cascading the correction through the pipeline.
+                _self.track_stats["chain_repairs"] += 1
                 pose2 = rerun_full_frame(repair[1])
                 raw2 = np.asarray(pose2, dtype=np.float64).reshape(4, 4)
                 _self._pose_hint = raw2
@@ -543,6 +581,7 @@ class FoundationPose:
                 "tracking ROI violated (object outran the window); "
                 "re-running frame full-frame"
             )
+            _self.track_stats["roi_recoveries"] += 1
             pose2 = rerun_full_frame(pose_in)
             raw2 = np.asarray(pose2, dtype=np.float64).reshape(4, 4)
             _self._pose_hint = raw2

@@ -49,26 +49,9 @@ from .refiner import apply_pose_delta
 logger = logging.getLogger(__name__)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "iterations"))
-def multi_track_graph(
-    refiner_params,
-    cfg: EstimatorCfg,
-    meshes: tuple[MeshTensors, ...],  # static length M, per-object shapes
-    poses: jax.Array,  # (M, 4, 4) centered-object-in-camera
-    K: jax.Array,  # (3, 3)
-    rgb_u8: jax.Array,  # (H, W, 3) uint8
-    depth_raw: jax.Array,  # (H, W) f32 meters
-    diameters: jax.Array,  # (M,) f32
-    iterations: int,
-):
-    """One frame of tracking for all M objects in ONE compiled graph.
-
-    Returns the refined (M, 4, 4) poses. The per-iteration structure
-    mirrors refiner.refine_poses (render -> crop -> network -> delta),
-    but the render fans out over per-object meshes while the network
-    forward and the delta application stay batched over M.
-    """
-    rgb = rgb_u8.astype(jnp.float32) / 255.0
+def _multi_body(refiner_params, cfg, meshes, poses, K, rgb, depth_raw,
+                diameters, iterations):
+    """Shared full-frame M-object tracking body (rgb already f32 0..1)."""
     depth = bilateral_filter_depth(erode_depth(depth_raw, radius=2), radius=2)
     xyz_map = depth_to_xyz_map(depth, K, zfar=cfg.zfar)
     rcfg = cfg.refiner
@@ -118,23 +101,63 @@ def multi_track_graph(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "iterations"))
-def multi_track_roi_graph(
+def multi_track_graph(
+    refiner_params,
+    cfg: EstimatorCfg,
+    meshes: tuple[MeshTensors, ...],  # static length M, per-object shapes
+    poses: jax.Array,  # (M, 4, 4) centered-object-in-camera
+    K: jax.Array,  # (3, 3)
+    rgb_u8: jax.Array,  # (H, W, 3) uint8
+    depth_raw: jax.Array,  # (H, W) f32 meters
+    diameters: jax.Array,  # (M,) f32
+    iterations: int,
+):
+    """One frame of tracking for all M objects in ONE compiled graph.
+
+    Returns the refined (M, 4, 4) poses. The per-iteration structure
+    mirrors refiner.refine_poses (render -> crop -> network -> delta),
+    but the render fans out over per-object meshes while the network
+    forward and the delta application stay batched over M.
+    """
+    rgb = rgb_u8.astype(jnp.float32) / 255.0
+    return _multi_body(refiner_params, cfg, meshes, poses, K, rgb,
+                       depth_raw, diameters, iterations)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "hw", "iterations"))
+def multi_track_graph_packed(
     refiner_params,
     cfg: EstimatorCfg,
     meshes: tuple[MeshTensors, ...],
     poses: jax.Array,  # (M, 4, 4)
-    Ks: jax.Array,  # (M, 3, 3) per-object principal-point-shifted K
-    rgb_w: jax.Array,  # (M, S, S, 3) uint8 per-object windows
-    depth_w: jax.Array,  # (M, S, S) f32
+    K_full: jax.Array,  # (3, 3) device-resident intrinsics
+    buf: jax.Array,  # flat uint8 from graph.pack_track_frame (offset 0,0)
     diameters: jax.Array,  # (M,)
+    hw: tuple[int, int],
     iterations: int,
 ):
-    """ROI variant of :func:`multi_track_graph`: each object gets its own
-    static-size window of the frame with K's principal point shifted by
-    the window offset — the same exact reparameterization the
-    single-object tracker streams (estimator.py:365-392), batched over
-    objects. Frame prep vmaps over the M windows."""
-    rgb = rgb_w.astype(jnp.float32) / 255.0
+    """Full-frame multi-object tracking from ONE packed host upload —
+    the same wire format as the single tracker's track_graph_packed
+    (rgb u8 + depth as u16 0.25 mm fixed point in one flat buffer)."""
+    from .graph import DEPTH_PACK_SCALE
+
+    H, W = hw
+    n_img = H * W * 5
+    img = buf[:n_img].reshape(H, W, 5)
+    rgb = img[..., :3].astype(jnp.float32) / 255.0
+    lo = img[..., 3].astype(jnp.uint16)
+    hi = img[..., 4].astype(jnp.uint16)
+    depth_raw = (lo + hi * jnp.uint16(256)).astype(jnp.float32) * (
+        1.0 / DEPTH_PACK_SCALE
+    )
+    return _multi_body(refiner_params, cfg, meshes, poses, K_full, rgb,
+                       depth_raw, diameters, iterations)
+
+
+def _multi_roi_body(refiner_params, cfg, meshes, poses, Ks, rgb, depth_w,
+                    diameters, iterations):
+    """Shared ROI M-object tracking body (rgb already f32 0..1; depth_w
+    raw meters; Ks per-object principal-point-shifted)."""
     depth = jax.vmap(
         lambda d: bilateral_filter_depth(erode_depth(d, radius=2), radius=2)
     )(depth_w)
@@ -192,6 +215,92 @@ def multi_track_roi_graph(
         step, poses.astype(jnp.float32), None, length=iterations
     )
     return refined
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "iterations"))
+def multi_track_roi_graph(
+    refiner_params,
+    cfg: EstimatorCfg,
+    meshes: tuple[MeshTensors, ...],
+    poses: jax.Array,  # (M, 4, 4)
+    Ks: jax.Array,  # (M, 3, 3) per-object principal-point-shifted K
+    rgb_w: jax.Array,  # (M, S, S, 3) uint8 per-object windows
+    depth_w: jax.Array,  # (M, S, S) f32
+    diameters: jax.Array,  # (M,)
+    iterations: int,
+):
+    """ROI variant of :func:`multi_track_graph`: each object gets its own
+    static-size window of the frame with K's principal point shifted by
+    the window offset — the same exact reparameterization the
+    single-object tracker streams (estimator.py:365-392), batched over
+    objects. Frame prep vmaps over the M windows."""
+    rgb = rgb_w.astype(jnp.float32) / 255.0
+    return _multi_roi_body(refiner_params, cfg, meshes, poses, Ks, rgb,
+                           depth_w, diameters, iterations)
+
+
+def pack_multi_track_frame(rgb, depth, x0s, y0s, size: int):
+    """Host-side: slice M static-size windows out of the frame and pack
+    them (with their offsets) into ONE flat uint8 buffer — the M-object
+    analogue of graph.pack_track_frame, so a whole multi-object frame
+    costs a single host->device transfer."""
+    from .graph import DEPTH_PACK_SCALE
+
+    M = len(x0s)
+    n_img = M * size * size * 5
+    buf = np.empty(n_img + 4 * M, np.uint8)
+    img = buf[:n_img].reshape(M, size, size, 5)
+    for m, (x0, y0) in enumerate(zip(x0s, y0s)):
+        img[m, ..., :3] = rgb[y0 : y0 + size, x0 : x0 + size]
+        mm = np.clip(
+            depth[y0 : y0 + size, x0 : x0 + size] * DEPTH_PACK_SCALE + 0.5,
+            0,
+            65535,
+        ).astype(np.uint16)
+        img[m, ..., 3:5] = mm.view(np.uint8).reshape(size, size, 2)
+    foot = buf[n_img:].reshape(M, 4)
+    x0a = np.asarray(x0s, np.int64)
+    y0a = np.asarray(y0s, np.int64)
+    foot[:, 0] = x0a & 255
+    foot[:, 1] = x0a >> 8
+    foot[:, 2] = y0a & 255
+    foot[:, 3] = y0a >> 8
+    return buf
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "size", "iterations"))
+def multi_track_roi_graph_packed(
+    refiner_params,
+    cfg: EstimatorCfg,
+    meshes: tuple[MeshTensors, ...],
+    poses: jax.Array,  # (M, 4, 4)
+    K_full: jax.Array,  # (3, 3) device-resident full-frame intrinsics
+    buf: jax.Array,  # flat uint8 from pack_multi_track_frame
+    diameters: jax.Array,  # (M,)
+    size: int,
+    iterations: int,
+):
+    """Packed-upload ROI variant: unpack the M windows + offsets on
+    device and shift each object's principal point — identical math to
+    multi_track_roi_graph, one transfer instead of three."""
+    from .graph import DEPTH_PACK_SCALE
+
+    M = len(meshes)
+    n_img = M * size * size * 5
+    img = buf[:n_img].reshape(M, size, size, 5)
+    rgb = img[..., :3].astype(jnp.float32) / 255.0
+    lo = img[..., 3].astype(jnp.uint16)
+    hi = img[..., 4].astype(jnp.uint16)
+    depth_w = (lo + hi * jnp.uint16(256)).astype(jnp.float32) * (
+        1.0 / DEPTH_PACK_SCALE
+    )
+    foot = buf[n_img:].reshape(M, 4).astype(jnp.float32)
+    x0 = foot[:, 0] + foot[:, 1] * 256.0
+    y0 = foot[:, 2] + foot[:, 3] * 256.0
+    Ks = jnp.tile(K_full, (M, 1, 1))
+    Ks = Ks.at[:, 0, 2].add(-x0).at[:, 1, 2].add(-y0)
+    return _multi_roi_body(refiner_params, cfg, meshes, poses, Ks, rgb,
+                           depth_w, diameters, iterations)
 
 
 class MultiTrackResult:
@@ -267,6 +376,12 @@ class MultiTracker:
         # in-flight successor frames have not absorbed yet; fetches
         # cascade it forward (see track_async.on_fetch).
         self._chain_repair: tuple[int, jax.Array] | None = None
+        # Device-resident full-frame K for the packed upload, keyed by
+        # the host K's bytes (re-uploaded only when K changes).
+        self._K_cache: tuple[bytes, jax.Array] | None = None
+        # Diagnosability counters (reset by set_poses): frames fetched
+        # and how often ROI recovery / chain repair fired.
+        self.track_stats = {"frames": 0, "roi_recoveries": 0, "chain_repairs": 0}
         for mesh in meshes or ():
             self.add_object(mesh)
 
@@ -378,6 +493,7 @@ class MultiTracker:
         self.poses_last = jnp.asarray(raw, dtype=jnp.float32)
         self._pose_hints = raw
         self._chain_repair = None  # fresh chain
+        self.track_stats = {"frames": 0, "roi_recoveries": 0, "chain_repairs": 0}
         self._upload_diameters()
 
     # ------------------------------------------------------ ROI windows
@@ -450,28 +566,61 @@ class MultiTracker:
         pose_in = self.poses_last
         meshes = tuple(self.mesh_tensors)
         roi = self._roi_windows(K_full, H, W)
+        pack = self.cfg.track_pack
+        if pack:
+            kb = K_full.tobytes()
+            if self._K_cache is None or self._K_cache[0] != kb:
+                self._K_cache = (kb, jnp.asarray(K_full))
         if roi is not None:
             x0s, y0s, size = roi
-            rgb_w = np.stack(
-                [rgb[y0 : y0 + size, x0 : x0 + size]
-                 for x0, y0 in zip(x0s, y0s)]
-            )
-            depth_w = np.stack(
-                [depth[y0 : y0 + size, x0 : x0 + size]
-                 for x0, y0 in zip(x0s, y0s)]
-            )
-            Ks = np.tile(K_full, (self.n_objects, 1, 1))
-            Ks[:, 0, 2] -= np.asarray(x0s, np.float32)
-            Ks[:, 1, 2] -= np.asarray(y0s, np.float32)
-            poses = multi_track_roi_graph(
+            if pack:
+                buf = pack_multi_track_frame(rgb, depth, x0s, y0s, size)
+                poses = multi_track_roi_graph_packed(
+                    self.refiner_params,
+                    self.cfg,
+                    meshes,
+                    pose_in,
+                    self._K_cache[1],
+                    jnp.asarray(buf),
+                    self._diam_dev,
+                    size=size,
+                    iterations=iters,
+                )
+            else:
+                rgb_w = np.stack(
+                    [rgb[y0 : y0 + size, x0 : x0 + size]
+                     for x0, y0 in zip(x0s, y0s)]
+                )
+                depth_w = np.stack(
+                    [depth[y0 : y0 + size, x0 : x0 + size]
+                     for x0, y0 in zip(x0s, y0s)]
+                )
+                Ks = np.tile(K_full, (self.n_objects, 1, 1))
+                Ks[:, 0, 2] -= np.asarray(x0s, np.float32)
+                Ks[:, 1, 2] -= np.asarray(y0s, np.float32)
+                poses = multi_track_roi_graph(
+                    self.refiner_params,
+                    self.cfg,
+                    meshes,
+                    pose_in,
+                    jnp.asarray(Ks),
+                    jnp.asarray(rgb_w, dtype=jnp.uint8),
+                    jnp.asarray(depth_w, dtype=jnp.float32),
+                    self._diam_dev,
+                    iterations=iters,
+                )
+        elif pack:
+            from .graph import pack_track_frame
+
+            poses = multi_track_graph_packed(
                 self.refiner_params,
                 self.cfg,
                 meshes,
                 pose_in,
-                jnp.asarray(Ks),
-                jnp.asarray(rgb_w, dtype=jnp.uint8),
-                jnp.asarray(depth_w, dtype=jnp.float32),
+                self._K_cache[1],
+                jnp.asarray(pack_track_frame(rgb, depth, 0, 0)),
                 self._diam_dev,
+                hw=depth.shape,
                 iterations=iters,
             )
         else:
@@ -495,6 +644,15 @@ class MultiTracker:
             pass
 
         def rerun_full_frame(from_poses, _self=self):
+            if pack:
+                from .graph import pack_track_frame
+
+                return multi_track_graph_packed(
+                    _self.refiner_params, _self.cfg, meshes, from_poses,
+                    _self._K_cache[1],
+                    jnp.asarray(pack_track_frame(rgb, depth, 0, 0)),
+                    _self._diam_dev, hw=depth.shape, iterations=iters,
+                )
             return multi_track_graph(
                 _self.refiner_params, _self.cfg, meshes, from_poses,
                 jnp.asarray(K_full), jnp.asarray(rgb, dtype=jnp.uint8),
@@ -503,6 +661,7 @@ class MultiTracker:
             )
 
         def on_fetch(raw, _self=self):
+            _self.track_stats["frames"] += 1
             repair = _self._chain_repair
             if repair is not None and repair[0] == seq - 1:
                 # The predecessor frame was corrected AFTER this frame
@@ -510,6 +669,7 @@ class MultiTracker:
                 # pose block. Recompute it full-frame from the corrected
                 # chain (full-frame parity needs no containment check),
                 # cascading the correction through the pipeline.
+                _self.track_stats["chain_repairs"] += 1
                 poses2 = rerun_full_frame(repair[1])
                 raw2 = np.asarray(poses2, dtype=np.float64)
                 _self._pose_hints = raw2
@@ -541,6 +701,7 @@ class MultiTracker:
                 "multi-tracking ROI violated (an object outran its window); "
                 "re-running frame full-frame"
             )
+            _self.track_stats["roi_recoveries"] += 1
             poses2 = rerun_full_frame(pose_in)
             raw2 = np.asarray(poses2, dtype=np.float64)
             _self._pose_hints = raw2

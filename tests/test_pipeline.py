@@ -339,6 +339,66 @@ class TestTrack:
             np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+class TestTrackPack:
+    """Packed single-buffer tracking upload (graph.pack_track_frame /
+    track_graph_packed): the on-device unpack must invert the host-side
+    pack exactly (rgb, ROI offset) and within the 0.25 mm fixed-point
+    quantum (depth)."""
+
+    def test_pack_roundtrip(self):
+        from foundationpose_tpu.pipeline.graph import (
+            DEPTH_PACK_SCALE,
+            TRACK_PACK_FOOTER,
+            pack_track_frame,
+        )
+
+        rng = np.random.default_rng(11)
+        h, w = 48, 64
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        depth = (rng.uniform(0.0, 3.0, size=(h, w))).astype(np.float32)
+        depth[rng.uniform(size=(h, w)) < 0.3] = 0.0  # invalid pixels
+        x0, y0 = 321, 77
+        buf = pack_track_frame(rgb, depth, x0, y0)
+        assert buf.dtype == np.uint8
+        assert buf.size == h * w * 5 + TRACK_PACK_FOOTER
+        img = buf[: h * w * 5].reshape(h, w, 5)
+        np.testing.assert_array_equal(img[..., :3], rgb)
+        lo = img[..., 3].astype(np.uint32)
+        hi = img[..., 4].astype(np.uint32)
+        dec = (lo + hi * 256).astype(np.float32) / DEPTH_PACK_SCALE
+        # quantization bound: half a quantum
+        assert np.abs(dec - depth).max() <= 0.5 / DEPTH_PACK_SCALE + 1e-7
+        assert (dec[depth == 0] == 0).all()  # invalid stays exactly 0
+        foot = buf[h * w * 5 :].astype(np.int64)
+        assert foot[0] + foot[1] * 256 == x0
+        assert foot[2] + foot[3] * 256 == y0
+
+    @pytest.mark.slow
+    def test_packed_matches_unpacked_tracking(self):
+        """track_pack=True and =False must agree: the packed path's
+        on-device unpack + K principal-point shift is the same
+        computation, differing only by sub-quantum depth rounding."""
+        import dataclasses
+
+        mesh = colored_box()
+        params = zero_refiner_heads(
+            init_refine_net(jax.random.PRNGKey(2), tiny_cfg().refiner.net)
+        )
+        gt = np.eye(4)
+        gt[:3, 3] = [0.04, -0.03, 1.25]  # far enough that the ROI < frame
+        rgb, depth, mask = synth_frame(mesh, gt)
+        poses = {}
+        for pack in (True, False):
+            cfg = dataclasses.replace(tiny_cfg(), track_pack=pack)
+            e = FoundationPose(mesh=mesh, cfg=cfg, refiner_params=params)
+            e.register(K, rgb, depth, mask, iteration=1)
+            assert e._track_roi_window(K, H, W) is not None
+            for _ in range(2):
+                p = e.track_one(rgb, depth, K, iteration=1)
+            poses[pack] = p
+        np.testing.assert_allclose(poses[True], poses[False], atol=1e-4)
+
+
 class TestRefinerStep:
     def test_refine_moves_toward_target_with_oracle_delta(self, est):
         """apply_pose_delta semantics: a synthetic network output that
