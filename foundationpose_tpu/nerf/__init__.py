@@ -73,5 +73,6 @@ def run_neural_object_field(
         optimized_poses,
         K,
         tex_res=tex_res or cfg.tex_res,
+        top_views=cfg.tex_top_views,
     )
     return textured, runner

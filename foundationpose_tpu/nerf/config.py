@@ -75,6 +75,9 @@ class NerfCfg:
     # mesh extraction / texture
     mesh_resolution: float = 0.003  # meters
     tex_res: int = 1024
+    # views blended per face in the texture bake, angle-weighted
+    # (reference _CHOOSE_TOP_N = 4, nerf_runner.py:1174; 1 = best-view only)
+    tex_top_views: int = 4
     rays_valid_depth_only: bool = True
     dilate_mask_size: int = 0
     # Frame 0's mask is assumed perfect; the reference dilates it with a

@@ -8,11 +8,15 @@ rayColorToTextureImageCUDA splat). TPU-native pipeline:
   private patch (no bleeding across charts).
 * Visibility: depth maps of the reconstructed mesh rendered with this
   framework's own rasterizer for every reference view.
-* View selection: best visible view per face by incidence angle
-  (the reference picks among its top-4 by angle; we take the best).
+* View selection: top-`top_views` visible views per face by incidence
+  angle (the reference's _CHOOSE_TOP_N = 4 selection,
+  nerf_runner.py:1174-1180), blended with incidence-cosine weights —
+  single-view bakes show seams/exposure steps at view boundaries on
+  real multi-view captures. `top_views=1` reproduces the old
+  best-view-only bake.
 * Color transfer: every texel maps through barycentrics to a surface
-  point, projects into the chosen view, and bilinearly samples the
-  training image — one fused JAX pass over (faces x texels).
+  point, projects into each chosen view, and bilinearly samples the
+  training image — one fused pass over (faces x texels) per view rank.
 """
 from __future__ import annotations
 
@@ -69,6 +73,7 @@ def bake_texture(
     K: np.ndarray,
     tex_res: int = 1024,
     depth_tol: float = 0.01,
+    top_views: int = 4,
 ) -> TriMesh:
     """Returns a copy of `mesh` with texture + per-vertex-split UVs."""
     V = mesh.vertices
@@ -112,8 +117,14 @@ def bake_texture(
     inb = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (c_cam[..., 2] > 1e-4)
     visible = inb & (np.abs(dm - c_cam[..., 2]) < depth_tol) & (cos > 0)
     score = np.where(visible, cos, -1.0)
-    best_view = np.argmax(score, axis=0)  # (F,)
-    has_view = score[best_view, np.arange(len(F))] > 0
+    n_blend = max(1, min(top_views, n_views))
+    # top-N views per face by incidence cosine, descending
+    # (reference: per-triangle top-4 by angle, nerf_runner.py:1174-1180)
+    top_idx = np.argsort(-score, axis=0)[:n_blend]  # (N, F)
+    top_w = np.maximum(
+        score[top_idx, np.arange(len(F))[None]], 0.0
+    )  # (N, F) cosine weights; 0 for invisible ranks
+    has_view = top_w[0] > 0
 
     # --- atlas
     uv, face_uv_idx = make_triangle_atlas(len(F), tex_res)
@@ -126,7 +137,6 @@ def bake_texture(
     wsum = np.zeros((tex_res, tex_res, 1), np.float32)
 
     tri_uv_px = uv[face_uv_idx] * tex_res  # (F, 3, 2)
-    ob2cam = ob_in_cams[best_view]  # (F, 4, 4)
     rgbs_f = rgbs.astype(np.float32)
 
     # Barycentric sample grid per face patch (dense enough to cover the
@@ -147,26 +157,47 @@ def bake_texture(
         + V[F[:, 1]][:, None] * b1[None, :, None]
         + V[F[:, 2]][:, None] * b2[None, :, None]
     )  # (F, T, 3)
-    p_cam = np.einsum("fij,ftj->fti", ob2cam[:, :3, :3], p) + ob2cam[:, None, :3, 3]
-    pu = p_cam[..., 0] / p_cam[..., 2] * K[0, 0] + K[0, 2]
-    pv = p_cam[..., 1] / p_cam[..., 2] * K[1, 1] + K[1, 2]
-    pu = np.clip(pu, 0, W - 1.001)
-    pv = np.clip(pv, 0, H - 1.001)
-    u0 = np.floor(pu).astype(int)
-    v0 = np.floor(pv).astype(int)
-    fu = (pu - u0)[..., None]
-    fv = (pv - v0)[..., None]
-    vw = best_view[:, None]
 
-    def tap(vv, uu):
-        return rgbs_f[np.broadcast_to(vw, vv.shape), vv, uu]
+    def sample_rank(view_of_face):
+        """Bilinear colors of every (face, texel-sample) in one view
+        per face. view_of_face: (F,) int."""
+        ob2cam = ob_in_cams[view_of_face]  # (F, 4, 4)
+        p_cam = (
+            np.einsum("fij,ftj->fti", ob2cam[:, :3, :3], p)
+            + ob2cam[:, None, :3, 3]
+        )
+        pu = p_cam[..., 0] / p_cam[..., 2] * K[0, 0] + K[0, 2]
+        pv = p_cam[..., 1] / p_cam[..., 2] * K[1, 1] + K[1, 2]
+        pu = np.clip(pu, 0, W - 1.001)
+        pv = np.clip(pv, 0, H - 1.001)
+        u0 = np.floor(pu).astype(int)
+        v0 = np.floor(pv).astype(int)
+        fu = (pu - u0)[..., None]
+        fv = (pv - v0)[..., None]
+        vw = view_of_face[:, None]
 
-    col = (
-        tap(v0, u0) * (1 - fu) * (1 - fv)
-        + tap(v0, np.minimum(u0 + 1, W - 1)) * fu * (1 - fv)
-        + tap(np.minimum(v0 + 1, H - 1), u0) * (1 - fu) * fv
-        + tap(np.minimum(v0 + 1, H - 1), np.minimum(u0 + 1, W - 1)) * fu * fv
-    )  # (F, T, 3)
+        def tap(vv, uu):
+            return rgbs_f[np.broadcast_to(vw, vv.shape), vv, uu]
+
+        return (
+            tap(v0, u0) * (1 - fu) * (1 - fv)
+            + tap(v0, np.minimum(u0 + 1, W - 1)) * fu * (1 - fv)
+            + tap(np.minimum(v0 + 1, H - 1), u0) * (1 - fu) * fv
+            + tap(np.minimum(v0 + 1, H - 1), np.minimum(u0 + 1, W - 1))
+            * fu
+            * fv
+        )  # (F, T, 3)
+
+    # Angle-weighted blend over the top-N visible views of each face.
+    col = np.zeros((len(F), T, 3), np.float32)
+    wtot = np.zeros((len(F), 1, 1), np.float32)
+    for n in range(n_blend):
+        w = top_w[n][:, None, None]
+        if not (w > 0).any():
+            break
+        col += sample_rank(top_idx[n]) * w
+        wtot += w
+    col /= np.maximum(wtot, 1e-12)
     col[~has_view] = 128.0
 
     # Texel positions in the atlas for each (face, sample).

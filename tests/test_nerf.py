@@ -399,3 +399,101 @@ class TestArtifactDumps:
         n_bad_dil = (d0 >= BAD_DEPTH * sc * 0.99).sum()
         d0_off = np.asarray(r_off.rays["depth"])[fid_off == 0]
         assert n_bad_dil > (d0_off >= BAD_DEPTH * sc * 0.99).sum()
+
+
+class TestBakeTexture:
+    """Texture bake view blending (reference nerf_runner.py:1163-1213:
+    per-triangle top-4 views by incidence angle splat into the map)."""
+
+    def _capture(self, n_sub=2, H=96, W=96, radius=0.5):
+        from foundationpose_tpu.geometry.icosphere import (
+            icosphere, sample_views_icosphere,
+        )
+        from foundationpose_tpu.meshio import TriMesh, compute_vertex_normals
+        from foundationpose_tpu.ops import render_mesh
+
+        verts, faces = icosphere(n_sub, radius=0.1)
+        # smooth view-independent vertex colors (no lighting) so a
+        # perfect bake reproduces the training views exactly
+        vc = (
+            np.stack(
+                [
+                    verts[:, 0] - verts[:, 0].min(),
+                    verts[:, 1] - verts[:, 1].min(),
+                    verts[:, 2] - verts[:, 2].min(),
+                ],
+                axis=-1,
+            )
+            / 0.2
+            * 200
+            + 30
+        ).astype(np.uint8)
+        mesh = TriMesh(vertices=verts, faces=faces, vertex_colors=vc)
+        K = np.array(
+            [[140.0, 0, W / 2], [0, 140.0, H / 2], [0, 0, 1.0]], np.float32
+        )
+        cam_in_obs = sample_views_icosphere(n_views=4)  # 12 views
+        cam_in_obs[:, :3, 3] *= radius
+        ob_in_cams = np.linalg.inv(cam_in_obs)
+        out = render_mesh(
+            jnp.asarray(verts.astype(np.float32)),
+            jnp.asarray(faces.astype(np.int32)),
+            jnp.asarray(ob_in_cams.astype(np.float32)),
+            jnp.asarray(K),
+            out_hw=(H, W),
+            vertex_color=jnp.asarray(vc.astype(np.float32) / 255),
+            use_light=False,
+            pose_block=12,
+        )
+        rgbs = (np.asarray(out.color) * 255).astype(np.uint8)
+        depths = np.asarray(out.depth).astype(np.float32)
+        return mesh, rgbs, depths, cam_in_obs, K, (H, W)
+
+    def _psnr_of_bake(self, baked, rgbs, cam_in_obs, K, hw):
+        from foundationpose_tpu.ops import render_mesh
+
+        H, W = hw
+        ob_in_cams = np.linalg.inv(cam_in_obs)
+        uv_r = baked.uv.copy()
+        uv_r[:, 1] = 1.0 - uv_r[:, 1]  # OBJ v-up -> raster v-down
+        out = render_mesh(
+            jnp.asarray(baked.vertices.astype(np.float32)),
+            jnp.asarray(baked.faces.astype(np.int32)),
+            jnp.asarray(ob_in_cams.astype(np.float32)),
+            jnp.asarray(K),
+            out_hw=(H, W),
+            uv=jnp.asarray(uv_r),
+            tex=jnp.asarray(baked.texture.astype(np.float32) / 255),
+            use_light=False,
+            pose_block=12,
+        )
+        rr = np.asarray(out.color) * 255
+        m = np.asarray(out.mask) > 0
+        err = ((rr - rgbs.astype(np.float32)) ** 2)[m].mean()
+        return 10 * np.log10(255.0**2 / max(err, 1e-9))
+
+    def test_top4_blend_matches_or_beats_single_view(self):
+        from foundationpose_tpu.nerf.texture import bake_texture
+
+        mesh, rgbs, depths, cam_in_obs, K, hw = self._capture()
+        b1 = bake_texture(
+            mesh, rgbs, depths, cam_in_obs, K, tex_res=256, top_views=1
+        )
+        b4 = bake_texture(
+            mesh, rgbs, depths, cam_in_obs, K, tex_res=256, top_views=4
+        )
+        p1 = self._psnr_of_bake(b1, rgbs, cam_in_obs, K, hw)
+        p4 = self._psnr_of_bake(b4, rgbs, cam_in_obs, K, hw)
+        # blending must not regress re-render quality, and both bakes
+        # must reproduce the capture decently
+        assert p4 >= p1 - 0.25, (p1, p4)
+        assert p4 > 20.0, p4
+
+    def test_single_view_knob_still_available(self):
+        from foundationpose_tpu.nerf.texture import bake_texture
+
+        mesh, rgbs, depths, cam_in_obs, K, hw = self._capture(n_sub=1)
+        b = bake_texture(
+            mesh, rgbs, depths, cam_in_obs, K, tex_res=128, top_views=1
+        )
+        assert b.texture is not None and b.uv is not None
