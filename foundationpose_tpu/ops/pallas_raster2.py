@@ -106,6 +106,7 @@ def _raster_kernel(
     pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     lx = (pidx % tile).astype(jnp.float32)
     ly = (pidx // tile).astype(jnp.float32)
+    Dm1 = Da - 1
 
     def do_tile(t, _):
         ty = t // ntx
@@ -201,9 +202,28 @@ def _raster_kernel(
             The last two attrs of each vertex group are [z, 1]
             (pack_records appends them): perspective-correct
             interpolation of vertex z IS the screen depth, and of the
-            constant 1 under one-hot weights IS the coverage — so the
-            same three matmuls produce the whole output block
-            channel-major, with no transpose."""
+            constant 1 IS the normalizer — so the same three matmuls
+            produce the whole output block channel-major, no transpose.
+
+            VPU-lean winner select (each dropped op is a full (P, K)
+            vector pass, the kernel's unit of cost):
+            * the winner is the MAX of zsum = sum_i w_i/z_i, not the
+              min of z = 1/zsum — same ordering for positive depths,
+              no per-candidate reciprocal;
+            * the inside test is one min3 >= eps (the ok flag of row 9
+              is not re-tested: fill() only bins ok faces, and empty
+              lanes die on the zsum > 0 guard);
+            * interpolation weights are the UNNORMALIZED w_i/z_i terms
+              (already computed for zsum); the perspective division
+              happens once per PIXEL on the (Da, P) output block, not
+              per candidate. Interpolating the appended constant-1
+              attr under these weights yields exactly the winner's
+              zsum = the normalizer, and vertex z yields sum(w) = the
+              numerator of the screen depth;
+            * exact zsum ties keep ALL max lanes (no lane tie-break):
+              the deferred division turns duplicate winners into their
+              weighted average — at shared edges (the only place ties
+              occur) both faces interpolate to the same value."""
             px = tx0 + lx  # (P, 1)
             py = ty0 + ly
             A = acc_ref[:, :width]
@@ -211,29 +231,17 @@ def _raster_kernel(
             w1 = px * A[3:4, :] + py * A[4:5, :] + A[5:6, :]
             w2 = px * A[6:7, :] + py * A[7:8, :] + A[8:9, :]
             eps = -1e-5
-            inside = (
-                (w0 >= eps) & (w1 >= eps) & (w2 >= eps) & (A[9:10, :] > 0)
-            )
-            zsum = w0 * A[10:11, :] + w1 * A[11:12, :] + w2 * A[12:13, :]
-            z = jnp.where(inside & (zsum > 1e-12), 1.0 / zsum, _BIG)
-            zmin = jnp.min(z, axis=1, keepdims=True)  # (P, 1)
-            covered = zmin < _BIG
-            lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
-            first = jnp.min(
-                jnp.where(z == zmin, lane, jnp.int32(2**30)),
-                axis=1, keepdims=True,
-            )
-            ohw = (
-                (z == zmin) & (lane == first) & covered
-            ).astype(jnp.float32)  # (P, K): winner one-hot, 0 if empty
-
-            # Perspective-correct barycentric WEIGHTED one-hots: the
-            # attribute interpolation is three matmuls over the whole
-            # tile — no winner-record fetch, no per-pixel gather.
-            zsg = jnp.where(zsum > 1e-12, zsum, 1.0)
-            W0 = ohw * (w0 * A[10:11, :] / zsg)
-            W1 = ohw * (w1 * A[11:12, :] / zsg)
-            W2 = ohw - W0 - W1  # c2 = 1 - c0 - c1 on the winner lane
+            inside = jnp.minimum(jnp.minimum(w0, w1), w2) >= eps
+            t0 = w0 * A[10:11, :]
+            t1 = w1 * A[11:12, :]
+            t2 = w2 * A[12:13, :]
+            zsum = t0 + t1 + t2
+            s = jnp.where(inside & (zsum > 1e-12), zsum, -1.0)
+            m = jnp.max(s, axis=1, keepdims=True)  # (P, 1)
+            ohw = ((s == m) & (m > 0)).astype(jnp.float32)  # (P, K)
+            U0 = ohw * t0
+            U1 = ohw * t1
+            U2 = ohw * t2
 
             def interp(Wv, g):
                 return jax.lax.dot_general(
@@ -242,7 +250,13 @@ def _raster_kernel(
                     preferred_element_type=jnp.float32, precision=_HI,
                 )  # (Da, P)
 
-            return interp(W0, 0) + interp(W1, 1) + interp(W2, 2)
+            raw = interp(U0, 0) + interp(U1, 1) + interp(U2, 2)
+            norm = raw[Dm1:Da, :]  # (1, P): winner zsum, 0 if empty
+            inv = jnp.where(norm > 1e-12, 1.0 / norm, 0.0)
+            return jnp.concatenate(
+                [raw[:Dm1, :] * inv, (norm > 1e-12).astype(jnp.float32)],
+                axis=0,
+            )
 
         count = fill(0)
 
