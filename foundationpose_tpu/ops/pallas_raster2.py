@@ -178,12 +178,31 @@ def _raster_kernel(
                 )  # (D2-4, CW*128)
                 tgt_all = tgt.reshape(1, CW * 128)  # chunk-major lanes
                 oh_all = (rowid_k == tgt_all).astype(
-                    jnp.float32
-                )  # (K, CW*128)
-                acc_ref[:] += jax.lax.dot_general(
-                    slab_all, oh_all, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=_HI,
-                )  # (D2-4, K): exact one-hot routing
+                    jnp.bfloat16
+                )  # (K, CW*128): 0/1, exactly representable in bf16
+                # Exact one-hot routing in THREE bf16 MXU passes instead
+                # of precision=HIGHEST (which splits BOTH operands 3-way
+                # and issues 6 passes): the one-hot side is already
+                # bf16-exact, and the standard 3-limb bf16 split of an
+                # f32 (24 <= 3x8 mantissa bits, round-to-nearest
+                # residuals telescope) reproduces slab_all exactly, so
+                # limb-wise products accumulated in f32 equal the f32
+                # operand bit-for-bit under 0/1 weights.
+                s0 = slab_all.astype(jnp.bfloat16)
+                r1 = slab_all - s0.astype(jnp.float32)
+                s1 = r1.astype(jnp.bfloat16)
+                s2 = (r1 - s1.astype(jnp.float32)).astype(jnp.bfloat16)
+
+                def route(limb):
+                    return jax.lax.dot_general(
+                        limb, oh_all, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,  # the
+                        # session-wide f32 precision pin rejects bf16
+                        # operands; DEFAULT is one native MXU pass
+                    )  # (D2-4, K)
+
+                acc_ref[:] += route(s0) + route(s1) + route(s2)
                 return base + jnp.sum(totals)
 
             return jax.lax.fori_loop(0, n_grp, do_group, jnp.float32(0.0))
