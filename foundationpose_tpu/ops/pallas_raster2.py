@@ -106,6 +106,10 @@ def _raster_kernel(
     pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     lx = (pidx % tile).astype(jnp.float32)
     ly = (pidx // tile).astype(jnp.float32)
+    # Row-oriented (1, P) copies for the per-pixel winner math.
+    pidr = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    lxr = (pidr % tile).astype(jnp.float32)
+    lyr = (pidr // tile).astype(jnp.float32)
     Dm1 = Da - 1
 
     def do_tile(t, _):
@@ -231,18 +235,22 @@ def _raster_kernel(
               no per-candidate reciprocal;
             * the inside test is one min3 >= eps (the ok flag of row 9
               is not re-tested: fill() only bins ok faces, and empty
-              lanes die on the zsum > 0 guard);
-            * interpolation weights are the UNNORMALIZED w_i/z_i terms
-              (already computed for zsum); the perspective division
-              happens once per PIXEL on the (Da, P) output block, not
-              per candidate. Interpolating the appended constant-1
-              attr under these weights yields exactly the winner's
-              zsum = the normalizer, and vertex z yields sum(w) = the
-              numerator of the screen depth;
-            * exact zsum ties keep ALL max lanes (no lane tie-break):
-              the deferred division turns duplicate winners into their
-              weighted average — at shared edges (the only place ties
-              occur) both faces interpolate to the same value."""
+              lanes die on the zsum > 0 guard).
+
+            Winner-record GATHER instead of weighted interpolation:
+            the per-pixel one-hot is pure 0/1 — exactly representable
+            in bf16 — so ONE (rows, K) x (K, P) contraction per limb
+            of the 3-limb bf16 split gathers the winner's ENTIRE
+            record column exactly (3 native MXU passes total). The
+            previous scheme issued THREE weighted one-hot matmuls at
+            HIGHEST precision (= 18 effective passes) whose f32
+            weights could not ride the exact-split trick. Barycentrics
+            are then recomputed from the gathered coefficient rows in
+            (1, P) row orientation — per-pixel VPU math over Da-row
+            blocks, negligible next to the (P, K) select. Exact zsum
+            ties take the lowest lane (gathered record columns cannot
+            sum): at shared edges — the only place exact ties occur —
+            both faces interpolate to the same boundary value."""
             px = tx0 + lx  # (P, 1)
             py = ty0 + ly
             A = acc_ref[:, :width]
@@ -251,26 +259,53 @@ def _raster_kernel(
             w2 = px * A[6:7, :] + py * A[7:8, :] + A[8:9, :]
             eps = -1e-5
             inside = jnp.minimum(jnp.minimum(w0, w1), w2) >= eps
-            t0 = w0 * A[10:11, :]
-            t1 = w1 * A[11:12, :]
-            t2 = w2 * A[12:13, :]
-            zsum = t0 + t1 + t2
+            zsum = (
+                w0 * A[10:11, :] + w1 * A[11:12, :] + w2 * A[12:13, :]
+            )
             s = jnp.where(inside & (zsum > 1e-12), zsum, -1.0)
             m = jnp.max(s, axis=1, keepdims=True)  # (P, 1)
-            ohw = ((s == m) & (m > 0)).astype(jnp.float32)  # (P, K)
-            U0 = ohw * t0
-            U1 = ohw * t1
-            U2 = ohw * t2
+            is_max = (s == m) & (m > 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            first = jnp.min(
+                jnp.where(is_max, lane, jnp.int32(2**30)),
+                axis=1, keepdims=True,
+            )
+            ohw = (is_max & (lane == first)).astype(
+                jnp.bfloat16
+            )  # (P, K) one-hot, exactly representable in bf16
 
-            def interp(Wv, g):
+            # 3-limb exact split of the candidate records (rows, K) —
+            # tiny next to the (P, K) planes above.
+            g0 = A.astype(jnp.bfloat16)
+            gr = A - g0.astype(jnp.float32)
+            g1 = gr.astype(jnp.bfloat16)
+            g2 = (gr - g1.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def gath(limb):
                 return jax.lax.dot_general(
-                    A[13 + g * Da : 13 + (g + 1) * Da, :], Wv,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=_HI,
-                )  # (Da, P)
+                    limb, ohw, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )  # (rows, P)
 
-            raw = interp(U0, 0) + interp(U1, 1) + interp(U2, 2)
-            norm = raw[Dm1:Da, :]  # (1, P): winner zsum, 0 if empty
+            R = gath(g0) + gath(g1) + gath(g2)  # winner records, 0 if
+            # the pixel is empty (all-zero one-hot column)
+
+            pxr = tx0 + lxr  # (1, P)
+            pyr = ty0 + lyr
+            v0 = pxr * R[0:1, :] + pyr * R[1:2, :] + R[2:3, :]  # (1, P)
+            v1 = pxr * R[3:4, :] + pyr * R[4:5, :] + R[5:6, :]
+            v2 = pxr * R[6:7, :] + pyr * R[7:8, :] + R[8:9, :]
+            u0 = v0 * R[10:11, :]
+            u1 = v1 * R[11:12, :]
+            u2 = v2 * R[12:13, :]
+            raw = (
+                R[13 : 13 + Da, :] * u0
+                + R[13 + Da : 13 + 2 * Da, :] * u1
+                + R[13 + 2 * Da :, :] * u2
+            )  # (Da, P); row Dm1 interpolates the constant-1 attr =
+            # the winner's zsum (the perspective normalizer)
+            norm = raw[Dm1:Da, :]  # (1, P), 0 if empty
             inv = jnp.where(norm > 1e-12, 1.0 / norm, 0.0)
             return jnp.concatenate(
                 [raw[:Dm1, :] * inv, (norm > 1e-12).astype(jnp.float32)],
@@ -283,7 +318,9 @@ def _raster_kernel(
         # workload) skip the eval entirely; tiles whose candidate count
         # fits the first K/2 lanes (~46%) run the edge tests at half
         # vector width. Ranks pack ascending, so both tiers see every
-        # candidate they claim to.
+        # candidate they claim to. (A K/4 tier measured slightly
+        # SLOWER at the bench shape — too few tiles are that sparse to
+        # pay for the extra conditional code.)
         def empty_tile():
             return jnp.zeros((Da, P), jnp.float32)
 
