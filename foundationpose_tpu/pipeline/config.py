@@ -106,3 +106,22 @@ class EstimatorCfg:
     # synthetic scenes in tests/test_pipeline.py.
     prune_after_iter: int | None = None
     prune_keep: int = 64
+
+    def fast_register(self) -> "EstimatorCfg":
+        """The documented funneled-register preset: refine all 252
+        hypotheses for 2 iterations, keep the top 64 by depth
+        alignment, and spend iterations 3-5 + the network scorer on
+        survivors only.
+
+        Measured on v5e at the bench workload (252 hyp, 5 iters,
+        tools/profile_funnel.py): 811.5 hyp/s vs 513.3 parity — 1.58x.
+        Accuracy is CI-gated: on the trained-net synthetic suite the
+        funneled register's ADD-S must stay within 2 mm of the full
+        register (tests/test_training.py). The pruning rank uses the
+        weights-free depth-alignment score, so a hypothesis the
+        RefineNet could still have rescued in iterations 3-5 can be
+        lost — keep the parity default for benchmark comparisons.
+        """
+        return dataclasses.replace(
+            self, prune_after_iter=2, prune_keep=64
+        )

@@ -162,6 +162,7 @@ class FoundationPose:
         self.debug_dir = debug_dir
         self.gt_pose = None
         self.pose_last: jax.Array | None = None
+        self._guess_center = None  # set by register(); feeds debug vis
         self.K_last = None
         # Host-side hint of the latest fetched raw pose (centered-mesh
         # frame); drives the tracking ROI window. Updated by register()
@@ -353,14 +354,23 @@ class FoundationPose:
         except AttributeError:
             pass
         self.best_id = int(order[0])
+        self._guess_center = np.asarray(_center, dtype=np.float64)
         self._pose_hint = np.asarray(self.pose_last, dtype=np.float64)
         self._chain_repair = None  # fresh chain
         self.track_stats = {"frames": 0, "roi_recoveries": 0, "chain_repairs": 0}
+        best_pose = self._pose_hint @ self.get_tf_to_centered_mesh()
         if self.debug >= 2 and self.debug_dir:
-            from ..utils.debug_vis import dump_register_debug
+            from ..utils.debug_vis import dump_refiner_debug, dump_register_debug
 
             dump_register_debug(self, self.debug_dir, K, rgb, depth)
-        best_pose = self._pose_hint @ self.get_tf_to_centered_mesh()
+            if self.has_refiner and int(iteration) > 0:
+                dump_refiner_debug(
+                    self, self.debug_dir, K, rgb, depth, int(iteration)
+                )
+        if self.debug >= 3 and self.debug_dir:
+            from ..utils.debug_vis import dump_transformed_mesh
+
+            dump_transformed_mesh(self, self.debug_dir, best_pose)
         return best_pose
 
     def compute_add_err_to_gt_pose(self, poses) -> np.ndarray:

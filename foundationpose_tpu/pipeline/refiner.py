@@ -70,7 +70,9 @@ def apply_pose_delta(
     return egocentric_delta_pose_to_pose(poses, trans_delta, rot_mat_delta)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "iterations"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "iterations", "return_history")
+)
 def refine_poses(
     params,
     cfg: RefinerCfg,
@@ -81,8 +83,15 @@ def refine_poses(
     xyz_map: jax.Array,  # (H, W, 3)
     mesh_diameter: jax.Array,
     iterations: int = 5,
+    return_history: bool = False,
 ) -> jax.Array:
-    """Refine all hypotheses `iterations` times; returns (N, 4, 4)."""
+    """Refine all hypotheses `iterations` times; returns (N, 4, 4).
+
+    return_history=True additionally returns the PRE-step poses of
+    every iteration, stacked (iterations, N, 4, 4) — the trajectory
+    the debug canvases visualize (predict_pose_refine.py:241-293
+    dumps the same per-iteration input views in the reference).
+    """
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     def step(cur_poses, _):
@@ -105,7 +114,11 @@ def refine_poses(
             cur_poses, out["trans"], out["rot"], cfg, mesh_diameter,
             K=K, tf_to_crops=_tf,
         )
-        return new_poses, None
+        return new_poses, (cur_poses if return_history else None)
 
-    refined, _ = jax.lax.scan(step, poses.astype(jnp.float32), None, length=iterations)
+    refined, hist = jax.lax.scan(
+        step, poses.astype(jnp.float32), None, length=iterations
+    )
+    if return_history:
+        return refined, hist
     return refined

@@ -168,6 +168,36 @@ class TestRegister:
         assert n_surv == 16
         assert (s[:n_surv] > 1e4).all()
 
+    def test_debug_artifacts(self, tmp_path):
+        """debug=3 register writes the scorer canvas, one refiner
+        side-by-side per iteration, and the pose-transformed mesh
+        (predict_pose_refine.py:241-293, run_demo.py:54-61)."""
+        from foundationpose_tpu.meshio import load_mesh
+
+        mesh = colored_box()
+        cfg = tiny_cfg()
+        params = zero_refiner_heads(
+            init_refine_net(jax.random.PRNGKey(0), cfg.refiner.net)
+        )
+        gt = np.eye(4)
+        gt[:3, 3] = [0.02, -0.01, 0.9]
+        rgb, depth, mask = synth_frame(mesh, gt)
+        est_d = FoundationPose(
+            mesh=mesh, cfg=cfg, refiner_params=params,
+            debug=3, debug_dir=str(tmp_path),
+        )
+        pose = est_d.register(K, rgb, depth, mask, iteration=2)
+        assert (tmp_path / "vis_score.png").exists()
+        for i in range(2):
+            assert (tmp_path / f"vis_refiner_iter{i}.png").exists()
+        tf_mesh = load_mesh(str(tmp_path / "model_tf.obj"))
+        # the exported mesh is the original model under the returned pose
+        want = mesh.vertices @ pose[:3, :3].T + pose[:3, 3]
+        got = np.asarray(tf_mesh.vertices)
+        np.testing.assert_allclose(
+            np.sort(got, axis=0), np.sort(want, axis=0), atol=1e-4
+        )
+
 
 @pytest.mark.slow
 class TestTrack:

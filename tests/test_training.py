@@ -255,13 +255,14 @@ class TestTrainedNetworkRegistration:
         # the network put a near-best refined hypothesis on top
         assert rank_net <= 3, rank_net
 
-        # Decision-level funneling check with the TRAINED nets: pruning
-        # to 64 of 252 after 2 iterations must not degrade the final
-        # pose (the winner stays a survivor on this synthetic scene).
+        # Decision-level funneling check with the TRAINED nets, through
+        # the documented fast_register() preset (prune@2, keep 64): the
+        # funneled register's ADD-S must stay within 2 mm of the full
+        # register — the CI gate behind the README's preset row.
         cfg_p = EstimatorCfg(
             refiner=rcfg, scorer=dataclasses.replace(scfg, mode="network"),
-            prune_after_iter=2, prune_keep=64,
-        )
+        ).fast_register()
+        assert cfg_p.prune_after_iter == 2 and cfg_p.prune_keep == 64
         est_p = FoundationPose(
             mesh=mesh, cfg=cfg_p, refiner_params=rparams,
             scorer_params=sparams,
@@ -269,4 +270,4 @@ class TestTrainedNetworkRegistration:
         pose_p = est_p.register(K, rgb, depth, mask, iteration=5)
         err_p = adds_err(pose_p, gt, mesh.vertices)
         assert err_p < 0.06, f"funneled ADD-S {err_p}"
-        assert err_p <= err_net + 0.01, (err_p, err_net)
+        assert err_p <= err_net + 0.002, (err_p, err_net)
