@@ -118,19 +118,29 @@ def _attention_core_xla(qkv, num_heads):
     return out.transpose(0, 2, 1, 3).reshape(B, L, D).astype(qkv.dtype)
 
 
+def _routes_to_pallas(dtype, D, num_heads) -> bool:
+    """Dispatch predicate for the fused kernel. bf16 input only: the
+    kernel computes its matmuls in bf16, so routing an f32 pipeline
+    (compute_dtype="float32") through it would silently downcast."""
+    return (
+        jax.default_backend() == "tpu"
+        and dtype == jnp.bfloat16
+        and D % num_heads == 0
+        and (D // num_heads) % _LANE == 0
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def attention_core(qkv, num_heads):
     """Self-attention core on packed qkv (B, L, 3D) -> (B, L, D).
 
-    TPU: fused Pallas kernel (no HBM logits). Elsewhere: XLA reference.
-    Gradients always flow through the XLA math (recompute backward).
+    TPU + bf16 input: fused Pallas kernel (no HBM logits). Elsewhere —
+    including f32 inputs on TPU — the XLA reference (see
+    _routes_to_pallas). Gradients always flow through the XLA math
+    (recompute backward).
     """
     D = qkv.shape[-1] // 3
-    if (
-        jax.default_backend() == "tpu"
-        and D % num_heads == 0
-        and (D // num_heads) % _LANE == 0
-    ):
+    if _routes_to_pallas(qkv.dtype, D, num_heads):
         return _attention_core_pallas(qkv, num_heads)
     return _attention_core_xla(qkv, num_heads)
 

@@ -1,8 +1,9 @@
 """Fused Pallas attention core vs the XLA reference math.
 
 The TPU kernel (ops/attention.py) is validated here in interpret mode on
-the CPU mesh; on-chip numerics ride the bench parity gate like the other
-Pallas kernels. The custom VJP must match differentiating the XLA core
+the CPU mesh; the COMPILED kernel is additionally gated on chip by
+bench.py::parity_gate (attn_max_abs in the BENCH JSON) at the RefineNet
+head shape. The custom VJP must match differentiating the XLA core
 directly (trainers differentiate through multihead_attention).
 """
 import numpy as np
@@ -54,6 +55,24 @@ def test_dispatch_falls_back_off_tpu():
     out = np.asarray(attention_core(qkv, 2))
     ref = np.asarray(_attention_core_xla(qkv, 2))
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_dispatch_predicate_rejects_f32():
+    # The kernel computes in bf16; an f32 pipeline (compute_dtype=
+    # "float32") must fall back to the XLA core even on TPU — only the
+    # dtype leg can be asserted backend-independently, so pin the whole
+    # predicate table with the backend leg factored out.
+    from unittest import mock
+
+    from foundationpose_tpu.ops.attention import _routes_to_pallas
+
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        assert _routes_to_pallas(jnp.bfloat16, 512, 4)
+        assert not _routes_to_pallas(jnp.float32, 512, 4)  # dtype leg
+        assert not _routes_to_pallas(jnp.bfloat16, 512, 3)  # D % H
+        assert not _routes_to_pallas(jnp.bfloat16, 256, 4)  # dh % 128
+    with mock.patch("jax.default_backend", return_value="cpu"):
+        assert not _routes_to_pallas(jnp.bfloat16, 512, 4)
 
 
 def test_custom_vjp_matches_xla_grad():
