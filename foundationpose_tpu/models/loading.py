@@ -54,6 +54,13 @@ def load_estimator_checkpoint(path: str, kind: str, base=None):
         raw = (meta or {}).get("reference_config")
         if raw is not None:
             return params, from_ref(raw, base), zfar_from_reference(raw, kind)
+        # Natively-trained checkpoints (FoundationPose.save_weights)
+        # embed their live pipeline config the same way converted
+        # reference checkpoints embed config.yml — weights never load
+        # under the wrong net width / crop res / delta parameterization.
+        pc = (meta or {}).get("pipeline_cfg")
+        if pc is not None:
+            return params, cfg_from_meta_dict(pc, base), None
         use_bn = (meta or {}).get("use_bn", _has_bn(params))
         logger.info(
             "%s %s: no embedded reference config; using framework defaults "
@@ -83,6 +90,31 @@ def load_estimator_checkpoint(path: str, kind: str, base=None):
         kind, path, use_bn,
     )
     return params, _fallback_cfg(base, kind, use_bn), None
+
+
+def cfg_from_meta_dict(d: dict, base):
+    """Rebuild a RefinerCfg/ScorerCfg from its dataclasses.asdict dict
+    (JSON round-tripped: tuples arrive as lists — coerce back so the
+    frozen config stays hashable for jit static args)."""
+    d = dict(d)
+    net_d = d.pop("net", None)
+    raster_d = d.pop("raster", None)
+
+    def coerce(cfg, upd):
+        upd = {
+            k: tuple(v) if isinstance(v, list) else v for k, v in upd.items()
+        }
+        known = {f.name for f in dataclasses.fields(cfg)}
+        return dataclasses.replace(
+            cfg, **{k: v for k, v in upd.items() if k in known}
+        )
+
+    out = coerce(base, d)
+    if net_d is not None:
+        out = dataclasses.replace(out, net=coerce(base.net, net_d))
+    if raster_d is not None:
+        out = dataclasses.replace(out, raster=coerce(base.raster, raster_d))
+    return out
 
 
 def _fallback_cfg(base, kind: str, use_bn: bool):

@@ -96,6 +96,11 @@ class EstimatorCfg:
     # Quantization (<=0.125 mm) is far below sensor noise; False streams
     # f32 depth unpacked.
     track_pack: bool = True
+    # Same wire format for register() uploads (rgb u8 + depth u16 + mask
+    # bit plane): one transfer instead of three at ~64% of the bytes —
+    # the r4 profile pinned ~45-60 ms of each register on host/tunnel
+    # upload. False streams rgb/f32 depth/mask as separate transfers.
+    register_pack: bool = True
     # Hypothesis funneling (OFF by default = reference-parity register):
     # refine ALL hypotheses for `prune_after_iter` iterations, rank them
     # with the weights-free depth-alignment score, then run the
@@ -113,14 +118,15 @@ class EstimatorCfg:
         alignment, and spend iterations 3-5 + the network scorer on
         survivors only.
 
-        Measured on v5e at the bench workload (252 hyp, 5 iters,
-        tools/profile_funnel.py): 811.5 hyp/s vs 513.3 parity — 1.58x.
-        Accuracy is CI-gated: on the trained-net synthetic suite the
-        funneled register's ADD-S must stay within 2 mm of the full
-        register (tests/test_training.py). The pruning rank uses the
-        weights-free depth-alignment score, so a hypothesis the
-        RefineNet could still have rescued in iterations 3-5 can be
-        lost — keep the parity default for benchmark comparisons.
+        Throughput: measured alongside the parity register in every
+        bench run — see `register_hyp_per_s_funneled` in the newest
+        committed BENCH_r*.json (typically ~1.5-1.6x the parity
+        number). Accuracy is CI-gated: on the trained-net synthetic
+        suites the funneled register's ADD-S must stay within 2 mm of
+        the full register (tests/test_training.py). The pruning rank
+        uses the weights-free depth-alignment score, so a hypothesis
+        the RefineNet could still have rescued in iterations 3-5 can
+        be lost — keep the parity default for benchmark comparisons.
         """
         return dataclasses.replace(
             self, prune_after_iter=2, prune_keep=64

@@ -51,17 +51,28 @@ class TrackResult:
     `track_one` returns.
     """
 
-    __slots__ = ("_pose_dev", "_tf", "_on_fetch", "_cached")
+    __slots__ = ("_pose_dev", "_tf", "_on_fetch", "_cached", "_raw_host")
 
     def __init__(self, pose_dev: jax.Array, tf: np.ndarray, on_fetch=None):
         self._pose_dev = pose_dev
         self._tf = tf
         self._on_fetch = on_fetch
         self._cached = None
+        self._raw_host = None
+
+    def _prefill(self, raw_host: np.ndarray) -> None:
+        """Install an already-fetched raw device pose (from a batched
+        transfer — see fetch_track_results); result() then runs the
+        per-frame containment/chain checks on it without paying its own
+        host<->device round trip."""
+        if self._cached is None and self._raw_host is None:
+            self._raw_host = np.asarray(raw_host, np.float64).reshape(4, 4)
 
     def result(self) -> np.ndarray:
         if self._cached is None:
-            raw = np.asarray(self._pose_dev, dtype=np.float64).reshape(4, 4)
+            raw = self._raw_host
+            if raw is None:
+                raw = np.asarray(self._pose_dev, dtype=np.float64).reshape(4, 4)
             if self._on_fetch is not None:
                 # on_fetch may return a corrected raw pose (e.g. the
                 # tracking-ROI containment check re-running full-frame).
@@ -70,6 +81,31 @@ class TrackResult:
                     raw = corrected
             self._cached = raw @ self._tf
         return self._cached
+
+
+def fetch_track_results(results) -> list[np.ndarray]:
+    """Resolve a batch of in-flight TrackResults with ONE host<->device
+    transfer, then run each frame's checks in dispatch order.
+
+    Per-frame `result()` pays a full tunnel round trip to fetch a 4x4
+    pose — 20-30 ms on this environment's RPC-tunneled chip, which
+    dominated end-to-end tracking FPS (BENCH_r04: fetch 22.3 ms/frame ≈
+    the 28.3 ms RTT). Stacking the k device poses (one tiny dispatch)
+    and fetching the (k, 4, 4) array once amortizes that RTT over k
+    frames; the ROI-containment check and chain-repair cascade still
+    run per frame on the fetched poses, exactly as sequential result()
+    calls would. Frames needing recovery re-run as usual (their
+    corrected poses invalidate nothing: _prefill only seeds the raw
+    fetch). Pass results IN DISPATCH ORDER; returns their poses.
+    """
+    results = list(results)
+    pending = [r for r in results if r._cached is None and r._raw_host is None]
+    if len(pending) > 1:
+        stacked = jnp.stack([r._pose_dev for r in pending])
+        host = np.asarray(stacked)  # one RPC for the whole batch
+        for r, raw in zip(pending, host):
+            r._prefill(raw)
+    return [r.result() for r in results]
 
 
 def _rotation_about_z(angle: float) -> np.ndarray:
@@ -314,34 +350,58 @@ class FoundationPose:
 
     def register(self, K, rgb, depth, ob_mask, ob_id=None, iteration=5) -> np.ndarray:
         """Single-frame pose estimation (estimater.py:159-240)."""
-        from .graph import register_graph
+        from .graph import (
+            pack_register_frame,
+            register_graph,
+            register_graph_packed,
+        )
 
         mask_np = np.asarray(ob_mask)
-        valid = (np.asarray(depth) >= 0.001) & (mask_np > 0)
+        depth_np = np.asarray(depth)
+        valid = (depth_np >= 0.001) & (mask_np > 0)
         if valid.sum() < 4:
             # Degenerate input: identity rotation at the translation guess
             # (estimater.py:184-189; raw-depth median, filtering skipped).
             logger.info("valid region too small; returning translation guess")
             pose = np.eye(4)
             pose[:3, 3] = guess_translation(
-                np.asarray(depth), mask_np, np.asarray(K)
+                depth_np, mask_np, np.asarray(K)
             )
             return pose
 
-        order, refined, scores, _center, _n = register_graph(
-            self.refiner_params,
-            self.scorer_params,
-            self.cfg,
-            self.mesh_tensors,
-            self.rot_grid,
-            self.hyp_valid,
-            jnp.asarray(K, dtype=jnp.float32),
-            jnp.asarray(rgb, dtype=jnp.uint8),
-            jnp.asarray(depth, dtype=jnp.float32),
-            jnp.asarray(mask_np),
-            jnp.float32(self.diameter),
-            iterations=int(iteration) if self.has_refiner else 0,
-        )
+        iters = int(iteration) if self.has_refiner else 0
+        if self.cfg.register_pack and (depth_np.size % 8 == 0):
+            buf = pack_register_frame(
+                np.asarray(rgb), depth_np.astype(np.float32), mask_np
+            )
+            order, refined, scores, _center, _n = register_graph_packed(
+                self.refiner_params,
+                self.scorer_params,
+                self.cfg,
+                self.mesh_tensors,
+                self.rot_grid,
+                self.hyp_valid,
+                jnp.asarray(K, dtype=jnp.float32),
+                jnp.asarray(buf),
+                jnp.float32(self.diameter),
+                hw=depth_np.shape,
+                iterations=iters,
+            )
+        else:
+            order, refined, scores, _center, _n = register_graph(
+                self.refiner_params,
+                self.scorer_params,
+                self.cfg,
+                self.mesh_tensors,
+                self.rot_grid,
+                self.hyp_valid,
+                jnp.asarray(K, dtype=jnp.float32),
+                jnp.asarray(rgb, dtype=jnp.uint8),
+                jnp.asarray(depth, dtype=jnp.float32),
+                jnp.asarray(mask_np),
+                jnp.float32(self.diameter),
+                iterations=iters,
+            )
         self.poses = refined
         self.scores = scores
         self.pose_last = refined[0]
@@ -386,12 +446,25 @@ class FoundationPose:
         return np.linalg.norm(pred - gt_pts[None], axis=-1).mean(axis=-1)
 
     def save_weights(self, refiner_path: str | None = None, scorer_path: str | None = None):
+        """Save refiner/scorer params as .npz with the LIVE pipeline
+        config embedded (mirroring how cli.convert_weights embeds the
+        reference checkpoint's config.yml): load_weights / the CLIs'
+        --refiner_ckpt reconstruct the exact net width, crop resolution
+        and delta parameterization these weights were trained under."""
+        import dataclasses as _dc
+
         from ..utils.checkpoint import save_params
 
         if refiner_path:
-            save_params(refiner_path, self.refiner_params)
+            save_params(
+                refiner_path, self.refiner_params,
+                meta={"pipeline_cfg": _dc.asdict(self.cfg.refiner)},
+            )
         if scorer_path:
-            save_params(scorer_path, self.scorer_params)
+            save_params(
+                scorer_path, self.scorer_params,
+                meta={"pipeline_cfg": _dc.asdict(self.cfg.scorer)},
+            )
 
     def load_weights(self, refiner_path: str | None = None, scorer_path: str | None = None):
         """Load converted (.npz) or raw torch (.pth) checkpoints.

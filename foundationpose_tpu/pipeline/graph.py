@@ -88,8 +88,7 @@ def device_guess_translation(depth: jax.Array, mask: jax.Array, K: jax.Array):
     return jnp.where(n > 0, center, jnp.zeros(3)), n
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "iterations"))
-def register_graph(
+def _register_body(
     refiner_params,
     scorer_params,
     cfg: EstimatorCfg,
@@ -97,7 +96,7 @@ def register_graph(
     rot_grid: jax.Array,  # (N, 4, 4)
     hyp_valid: jax.Array,  # (N,)
     K: jax.Array,
-    rgb_u8: jax.Array,  # (H, W, 3) uint8
+    rgb: jax.Array,  # (H, W, 3) f32 [0, 1]
     depth_raw: jax.Array,  # (H, W) f32 meters
     mask: jax.Array,  # (H, W) any numeric/bool
     mesh_diameter: jax.Array,
@@ -106,7 +105,6 @@ def register_graph(
     """Full registration in ONE compiled graph.
 
     Returns (order, refined_sorted, scores_sorted, center, n_valid)."""
-    rgb = rgb_u8.astype(jnp.float32) / 255.0
     depth = bilateral_filter_depth(erode_depth(depth_raw, radius=2), radius=2)
     xyz_map = depth_to_xyz_map(depth, K, zfar=cfg.zfar)
     center, n_valid = device_guess_translation(depth, mask, K)
@@ -180,6 +178,104 @@ def register_graph(
     return order, refined[order], scores[order], center, n_valid
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "iterations"))
+def register_graph(
+    refiner_params,
+    scorer_params,
+    cfg: EstimatorCfg,
+    mesh: MeshTensors,
+    rot_grid: jax.Array,  # (N, 4, 4)
+    hyp_valid: jax.Array,  # (N,)
+    K: jax.Array,
+    rgb_u8: jax.Array,  # (H, W, 3) uint8
+    depth_raw: jax.Array,  # (H, W) f32 meters
+    mask: jax.Array,  # (H, W) any numeric/bool
+    mesh_diameter: jax.Array,
+    iterations: int,
+):
+    """Unpacked-upload registration graph (see _register_body)."""
+    rgb = rgb_u8.astype(jnp.float32) / 255.0
+    return _register_body(
+        refiner_params, scorer_params, cfg, mesh, rot_grid, hyp_valid, K,
+        rgb, depth_raw, mask, mesh_diameter, iterations,
+    )
+
+
+def pack_register_frame(rgb_u8, depth_f32, mask) -> "np.ndarray":
+    """Host-side: pack a register frame's rgb + depth + mask into ONE
+    flat uint8 buffer — rgb u8 (3 B/px) + depth as u16 0.25 mm fixed
+    point (2 B/px, same quantum as the tracking wire format) + the mask
+    as a BIT PLANE (1 b/px). One host->device transfer instead of three
+    and ~64% of the bytes (2.46 -> 1.57 MB at 640x480): the r4 profile
+    pinned register's wall-minus-device gap at ~45-60 ms of host/tunnel
+    upload while tracking already had a packed format
+    (pack_track_frame); this closes that asymmetry."""
+    import numpy as np
+
+    H, W = depth_f32.shape
+    n_px = H * W
+    assert n_px % 8 == 0, "frame pixel count must be a multiple of 8"
+    n_img = n_px * 5
+    buf = np.empty(n_img + n_px // 8, np.uint8)
+    img = buf[:n_img].reshape(H, W, 5)
+    img[..., :3] = rgb_u8
+    mm = np.clip(
+        np.nan_to_num(depth_f32) * DEPTH_PACK_SCALE + 0.5, 0, 65535
+    ).astype(np.uint16)
+    img[..., 3:5] = mm.view(np.uint8).reshape(H, W, 2)
+    buf[n_img:] = np.packbits(
+        np.asarray(mask).reshape(-1) != 0, bitorder="little"
+    )
+    return buf
+
+
+def unpack_register_frame(buf: jax.Array, hw: tuple[int, int]):
+    """Device-side inverse of pack_register_frame: (rgb [0,1] f32,
+    depth f32 meters, mask uint8 0/1). Tested directly against host
+    inputs in tests/test_pipeline.py."""
+    H, W = hw
+    n_px = H * W
+    n_img = n_px * 5
+    img = buf[:n_img].reshape(H, W, 5)
+    rgb = img[..., :3].astype(jnp.float32) / 255.0
+    lo = img[..., 3].astype(jnp.uint16)
+    hi = img[..., 4].astype(jnp.uint16)
+    depth_raw = (lo + hi * jnp.uint16(256)).astype(jnp.float32) * (
+        1.0 / DEPTH_PACK_SCALE
+    )
+    bits = buf[n_img:]  # little-endian bit plane (np.packbits)
+    mask = (
+        (bits[:, None] >> jnp.arange(8, dtype=jnp.uint8)[None]) & 1
+    ).reshape(H, W)
+    return rgb, depth_raw, mask
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "hw", "iterations"))
+def register_graph_packed(
+    refiner_params,
+    scorer_params,
+    cfg: EstimatorCfg,
+    mesh: MeshTensors,
+    rot_grid: jax.Array,
+    hyp_valid: jax.Array,
+    K: jax.Array,
+    buf: jax.Array,  # flat uint8 from pack_register_frame
+    mesh_diameter: jax.Array,
+    hw: tuple[int, int],
+    iterations: int,
+):
+    """Packed-upload registration: unpack rgb/depth/mask on device, then
+    the same _register_body as the unpacked graph (roundtrip-tested in
+    tests/test_pipeline.py). Depth quantization is <= 0.125 mm — an
+    order of magnitude under sensor noise and 16x under the 2 mm
+    accuracy gates."""
+    rgb, depth_raw, mask = unpack_register_frame(buf, hw)
+    return _register_body(
+        refiner_params, scorer_params, cfg, mesh, rot_grid, hyp_valid, K,
+        rgb, depth_raw, mask, mesh_diameter, iterations,
+    )
+
+
 def _track_body(refiner_params, cfg, mesh, pose_last, K, rgb, depth_raw,
                 mesh_diameter, iterations):
     depth = bilateral_filter_depth(erode_depth(depth_raw, radius=2), radius=2)
@@ -232,12 +328,49 @@ def pack_track_frame(rgb_u8, depth_f32, x0: int, y0: int):
     buf = np.empty(n_img + TRACK_PACK_FOOTER, np.uint8)
     img = buf[:n_img].reshape(H, W, 5)
     img[..., :3] = rgb_u8
+    # NaN depth (some sensors emit it for invalid pixels) -> 0 = invalid,
+    # matching how the unpacked path's depth filters treat it; np.clip
+    # passes NaN through and NaN->uint16 is undefined.
     mm = np.clip(
-        depth_f32 * DEPTH_PACK_SCALE + 0.5, 0, 65535
+        np.nan_to_num(depth_f32) * DEPTH_PACK_SCALE + 0.5, 0, 65535
     ).astype(np.uint16)
     img[..., 3:5] = mm.view(np.uint8).reshape(H, W, 2)
     buf[n_img:] = [x0 & 255, x0 >> 8, y0 & 255, y0 >> 8, 0, 0, 0, 0]
     return buf
+
+
+def unpack_track_frame(buf: jax.Array, hw: tuple[int, int]):
+    """Device-side inverse of pack_track_frame: (rgb [0,1] f32, depth
+    f32 meters, x0, y0). Tested directly against host inputs in
+    tests/test_pipeline.py (the e2e pose comparison alone could not
+    catch a broken dequantization — ADVICE r4)."""
+    H, W = hw
+    n_img = H * W * 5
+    img = buf[:n_img].reshape(H, W, 5)
+    rgb = img[..., :3].astype(jnp.float32) / 255.0
+    lo = img[..., 3].astype(jnp.uint16)
+    hi = img[..., 4].astype(jnp.uint16)
+    depth_raw = (lo + hi * jnp.uint16(256)).astype(jnp.float32) * (
+        1.0 / DEPTH_PACK_SCALE
+    )
+    foot = buf[n_img:].astype(jnp.float32)
+    x0 = foot[0] + foot[1] * 256.0
+    y0 = foot[2] + foot[3] * 256.0
+    return rgb, depth_raw, x0, y0
+
+
+def _track_packed_body(
+    refiner_params, cfg, mesh, pose_last, K_full, buf, mesh_diameter,
+    hw, iterations,
+):
+    """Shared body of track_graph_packed / track_chain_graph: unpack one
+    pack_track_frame buffer on device and run the tracking step."""
+    rgb, depth_raw, x0, y0 = unpack_track_frame(buf, hw)
+    K = K_full.at[0, 2].add(-x0).at[1, 2].add(-y0)
+    return _track_body(
+        refiner_params, cfg, mesh, pose_last, K, rgb, depth_raw,
+        mesh_diameter, iterations,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "hw", "iterations"))
@@ -255,20 +388,41 @@ def track_graph_packed(
     """Packed-upload variant of track_graph: unpacks rgb/depth/ROI offset
     on device and shifts K's principal point by the window offset (the
     exact viewport reparameterization of estimator._track_roi_window)."""
-    H, W = hw
-    n_img = H * W * 5
-    img = buf[:n_img].reshape(H, W, 5)
-    rgb = img[..., :3].astype(jnp.float32) / 255.0
-    lo = img[..., 3].astype(jnp.uint16)
-    hi = img[..., 4].astype(jnp.uint16)
-    depth_raw = (lo + hi * jnp.uint16(256)).astype(jnp.float32) * (
-        1.0 / DEPTH_PACK_SCALE
+    return _track_packed_body(
+        refiner_params, cfg, mesh, pose_last, K_full, buf, mesh_diameter,
+        hw, iterations,
     )
-    foot = buf[n_img:].astype(jnp.float32)
-    x0 = foot[0] + foot[1] * 256.0
-    y0 = foot[2] + foot[3] * 256.0
-    K = K_full.at[0, 2].add(-x0).at[1, 2].add(-y0)
-    return _track_body(
-        refiner_params, cfg, mesh, pose_last, K, rgb, depth_raw,
-        mesh_diameter, iterations,
-    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "hw", "iterations"))
+def track_chain_graph(
+    refiner_params,
+    cfg: EstimatorCfg,
+    mesh: MeshTensors,
+    pose0: jax.Array,  # (4, 4) chain start
+    K_full: jax.Array,  # (3, 3)
+    bufs: jax.Array,  # (k, n_bytes) uint8 — k pack_track_frame buffers
+    mesh_diameter: jax.Array,
+    hw: tuple[int, int],
+    iterations: int,
+):
+    """k sequential tracking steps chained ON DEVICE via lax.scan over k
+    pre-staged packed frames; returns the (k, 4, 4) pose trajectory.
+
+    Two uses: (a) a load-robust chip-capability measurement — one
+    dispatch + one fetch covers k frames, so host scheduling and tunnel
+    RTT cannot leak into the per-frame number (bench.py
+    tracking_fps_device_chain); (b) batch tracking of pre-captured
+    frame runs. Each step is bit-identical to track_graph_packed: the
+    scan body is the same _track_packed_body the per-frame graph calls.
+    """
+
+    def step(pose, buf):
+        new = _track_packed_body(
+            refiner_params, cfg, mesh, pose, K_full, buf, mesh_diameter,
+            hw, iterations,
+        )
+        return new, new
+
+    _, poses = jax.lax.scan(step, pose0, bufs)
+    return poses

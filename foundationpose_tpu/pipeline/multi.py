@@ -252,8 +252,11 @@ def pack_multi_track_frame(rgb, depth, x0s, y0s, size: int):
     img = buf[:n_img].reshape(M, size, size, 5)
     for m, (x0, y0) in enumerate(zip(x0s, y0s)):
         img[m, ..., :3] = rgb[y0 : y0 + size, x0 : x0 + size]
+        # nan_to_num: NaN depth -> 0 = invalid (see graph.pack_track_frame)
         mm = np.clip(
-            depth[y0 : y0 + size, x0 : x0 + size] * DEPTH_PACK_SCALE + 0.5,
+            np.nan_to_num(depth[y0 : y0 + size, x0 : x0 + size])
+            * DEPTH_PACK_SCALE
+            + 0.5,
             0,
             65535,
         ).astype(np.uint16)

@@ -368,6 +368,43 @@ class TestTrack:
         for a, b in zip(got, seq):
             np.testing.assert_allclose(a, b, atol=1e-5)
 
+    def test_batched_fetch_matches_sequential(self, est):
+        """fetch_track_results resolves k in-flight frames with ONE
+        device transfer; the poses (and the per-frame containment
+        checks) must match per-frame result() calls, and mixing — some
+        frames already resolved, some prefilled — must be safe."""
+        from foundationpose_tpu.pipeline import fetch_track_results
+
+        gt = np.eye(4)
+        gt[:3, 3] = [0.0, 0.01, 0.9]
+        mesh = colored_box()
+        frames = []
+        for dx in (0.0, 0.002, 0.004, 0.006):
+            g = gt.copy()
+            g[0, 3] += dx
+            frames.append(synth_frame(mesh, g))
+        params = zero_refiner_heads(
+            init_refine_net(jax.random.PRNGKey(9), tiny_cfg().refiner.net)
+        )
+
+        def fresh():
+            e = FoundationPose(mesh=mesh, cfg=tiny_cfg(), refiner_params=params)
+            e.register(K, frames[0][0], frames[0][1], frames[0][2], iteration=1)
+            return e
+
+        e1 = fresh()
+        seq = [e1.track_one(r, d, K, iteration=1) for r, d, _ in frames]
+
+        e2 = fresh()
+        futs = [e2.track_one_async(r, d, K, iteration=1) for r, d, _ in frames]
+        futs[0].result()  # one already-resolved result in the batch
+        got = fetch_track_results(futs)
+        assert len(got) == len(seq)
+        for a, b in zip(got, seq):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+        # idempotent: result() after the batch returns the cached pose
+        np.testing.assert_allclose(futs[-1].result(), got[-1], atol=0)
+
 
 class TestTrackPack:
     """Packed single-buffer tracking upload (graph.pack_track_frame /
@@ -387,8 +424,11 @@ class TestTrackPack:
         rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         depth = (rng.uniform(0.0, 3.0, size=(h, w))).astype(np.float32)
         depth[rng.uniform(size=(h, w)) < 0.3] = 0.0  # invalid pixels
+        nan_px = rng.uniform(size=(h, w)) < 0.05  # sensor NaNs -> invalid
+        depth[nan_px] = np.nan
         x0, y0 = 321, 77
         buf = pack_track_frame(rgb, depth, x0, y0)
+        depth[nan_px] = 0.0  # packed as invalid; compare against that
         assert buf.dtype == np.uint8
         assert buf.size == h * w * 5 + TRACK_PACK_FOOTER
         img = buf[: h * w * 5].reshape(h, w, 5)
@@ -403,17 +443,50 @@ class TestTrackPack:
         assert foot[0] + foot[1] * 256 == x0
         assert foot[2] + foot[3] * 256 == y0
 
+    def test_unpack_inverts_pack_on_device(self):
+        """The device-side unpack must reproduce the host inputs exactly
+        (rgb, ROI offset) / within half a quantum (depth) — asserted on
+        the TENSORS, not through pose agreement, so a broken
+        dequantization or a wrong footer decode cannot hide behind a
+        refiner whose output ignores the inputs (ADVICE r4)."""
+        from foundationpose_tpu.pipeline.graph import (
+            DEPTH_PACK_SCALE,
+            pack_track_frame,
+            unpack_track_frame,
+        )
+
+        rng = np.random.default_rng(3)
+        h, w = 40, 56
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        depth = rng.uniform(0.0, 4.0, size=(h, w)).astype(np.float32)
+        depth[rng.uniform(size=(h, w)) < 0.25] = 0.0
+        x0, y0 = 777, 301
+        buf = jnp.asarray(pack_track_frame(rgb, depth, x0, y0))
+        rgb_d, depth_d, x0_d, y0_d = jax.jit(
+            lambda b: unpack_track_frame(b, (h, w))
+        )(buf)
+        # one f32 ulp: device lowers /255 to a reciprocal multiply
+        np.testing.assert_allclose(
+            np.asarray(rgb_d), rgb.astype(np.float32) / 255.0, atol=1e-6
+        )
+        assert np.abs(np.asarray(depth_d) - depth).max() <= (
+            0.5 / DEPTH_PACK_SCALE + 1e-7
+        )
+        assert (np.asarray(depth_d)[depth == 0] == 0).all()
+        assert float(x0_d) == x0 and float(y0_d) == y0
+
     @pytest.mark.slow
     def test_packed_matches_unpacked_tracking(self):
-        """track_pack=True and =False must agree: the packed path's
-        on-device unpack + K principal-point shift is the same
-        computation, differing only by sub-quantum depth rounding."""
+        """track_pack=True and =False must agree THROUGH A LIVE REFINER
+        (random nonzero heads — zeroed heads made this trivially true,
+        ADVICE r4): the packed path's on-device unpack + K principal-
+        point shift is the same computation, differing only by
+        sub-quantum (<=0.125 mm) depth rounding at the network input. A
+        broken unpack produces centimeter-scale garbage."""
         import dataclasses
 
         mesh = colored_box()
-        params = zero_refiner_heads(
-            init_refine_net(jax.random.PRNGKey(2), tiny_cfg().refiner.net)
-        )
+        params = init_refine_net(jax.random.PRNGKey(2), tiny_cfg().refiner.net)
         gt = np.eye(4)
         gt[:3, 3] = [0.04, -0.03, 1.25]  # far enough that the ROI < frame
         rgb, depth, mask = synth_frame(mesh, gt)
@@ -423,10 +496,112 @@ class TestTrackPack:
             e = FoundationPose(mesh=mesh, cfg=cfg, refiner_params=params)
             e.register(K, rgb, depth, mask, iteration=1)
             assert e._track_roi_window(K, H, W) is not None
+            before = e._pose_hint.copy()
             for _ in range(2):
                 p = e.track_one(rgb, depth, K, iteration=1)
             poses[pack] = p
-        np.testing.assert_allclose(poses[True], poses[False], atol=1e-4)
+            # the refiner must have MOVED the pose (live heads — a
+            # zero-delta refiner would make this comparison vacuous)
+            assert np.abs(e._pose_hint - before).max() > 1e-6
+        np.testing.assert_allclose(poses[True], poses[False], atol=1e-3)
+
+    def test_register_unpack_inverts_pack_on_device(self):
+        """pack_register_frame's device-side inverse must reproduce the
+        host inputs: rgb within 1 f32 ulp, depth within half a quantum,
+        mask BIT-EXACT (it rides a packbits bit plane)."""
+        from foundationpose_tpu.pipeline.graph import (
+            DEPTH_PACK_SCALE,
+            pack_register_frame,
+            unpack_register_frame,
+        )
+
+        rng = np.random.default_rng(5)
+        h, w = 40, 56
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        depth = rng.uniform(0.0, 4.0, size=(h, w)).astype(np.float32)
+        depth[rng.uniform(size=(h, w)) < 0.25] = 0.0
+        depth[rng.uniform(size=(h, w)) < 0.05] = np.nan  # -> invalid
+        mask = (rng.uniform(size=(h, w)) < 0.4).astype(np.uint8) * 7  # any
+        buf = jnp.asarray(pack_register_frame(rgb, depth, mask))
+        rgb_d, depth_d, mask_d = jax.jit(
+            lambda b: unpack_register_frame(b, (h, w))
+        )(buf)
+        np.testing.assert_allclose(
+            np.asarray(rgb_d), rgb.astype(np.float32) / 255.0, atol=1e-6
+        )
+        fin = np.isfinite(depth)
+        # half a quantum + f32 decode rounding (~2.4e-7 m at 4 m range)
+        assert np.abs(np.asarray(depth_d)[fin] - depth[fin]).max() <= (
+            0.5 / DEPTH_PACK_SCALE + 1e-6
+        )
+        assert (np.asarray(depth_d)[~fin] == 0).all()  # NaN -> invalid
+        np.testing.assert_array_equal(np.asarray(mask_d), (mask > 0))
+
+    @pytest.mark.slow
+    def test_packed_matches_unpacked_register(self):
+        """register_pack=True and =False must pick the same hypothesis
+        and land within sub-millimeter agreement — the packed graph runs
+        the identical _register_body after the on-device unpack."""
+        import dataclasses
+
+        mesh = colored_box()
+        params = init_refine_net(jax.random.PRNGKey(6), tiny_cfg().refiner.net)
+        gt = np.eye(4)
+        gt[:3, 3] = [0.02, -0.01, 0.9]
+        rgb, depth, mask = synth_frame(mesh, gt)
+        out = {}
+        for pack in (True, False):
+            cfg = dataclasses.replace(tiny_cfg(), register_pack=pack)
+            e = FoundationPose(mesh=mesh, cfg=cfg, refiner_params=params)
+            pose = e.register(K, rgb, depth, mask, iteration=2)
+            out[pack] = (pose, e.best_id, np.asarray(e.scores))
+        assert out[True][1] == out[False][1]  # same winning hypothesis
+        np.testing.assert_allclose(out[True][0], out[False][0], atol=1e-3)
+
+    @pytest.mark.slow
+    def test_chain_graph_matches_per_frame_packed(self):
+        """track_chain_graph (k steps chained on device via lax.scan)
+        must reproduce k sequential track_graph_packed calls — it is the
+        load-robust bench metric, so it has to measure the same
+        computation. Live refiner weights; full-frame packing (x0=y0=0)
+        so every step sees identical inputs in both paths."""
+        from foundationpose_tpu.pipeline.graph import (
+            pack_track_frame,
+            track_chain_graph,
+            track_graph_packed,
+        )
+
+        mesh = colored_box()
+        cfg = tiny_cfg()
+        params = init_refine_net(jax.random.PRNGKey(4), cfg.refiner.net)
+        gt = np.eye(4)
+        gt[:3, 3] = [0.01, -0.02, 0.95]
+        frames = []
+        for i, dx in enumerate((0.0, 0.003, 0.006, 0.009)):
+            g = gt.copy()
+            g[0, 3] += dx
+            r, d, _ = synth_frame(mesh, g)
+            frames.append(pack_track_frame(r, d, 0, 0))
+        bufs = jnp.asarray(np.stack(frames))
+
+        e = FoundationPose(mesh=mesh, cfg=cfg, refiner_params=params)
+        mt, diam = e.mesh_tensors, jnp.float32(e.diameter)
+        Kj = jnp.asarray(K, jnp.float32)
+        pose0 = jnp.asarray(gt, jnp.float32)
+
+        seq, p = [], pose0
+        for i in range(len(frames)):
+            p = track_graph_packed(
+                params, cfg, mt, p, Kj, bufs[i], diam, hw=(H, W),
+                iterations=2,
+            )
+            seq.append(np.asarray(p))
+        chain = np.asarray(track_chain_graph(
+            params, cfg, mt, pose0, Kj, bufs, diam, hw=(H, W), iterations=2
+        ))
+        np.testing.assert_allclose(chain, np.stack(seq), atol=1e-5)
+        # the chain actually tracked the moving object (poses differ)
+        assert np.abs(chain[-1] - chain[0]).max() > 1e-4
 
 
 class TestRefinerStep:
