@@ -45,8 +45,15 @@ def parity_gate(mesh, K) -> dict:
       (< 4% of covered pixels may differ by > 1e-3).
     * sorted_segment_add: 1M-update stream vs XLA scatter-add,
       max |Δ| < 1e-4.
+    * fused attention core: compiled Pallas kernel vs the XLA reference
+      math at the RefineNet head shape (252, 400, 512, 4) on bf16
+      inputs, max |Δ| < 2e-3 (one bf16 ulp at the output scale) — this
+      kernel sits on every TPU refine/score forward, so a Mosaic
+      miscompile of the masking or softmax must fail the gate, not
+      silently skew every recorded number.
     Returns {"parity_ok": bool, "raster_smooth_max_abs": float,
-    "raster_edge_frac": float, "scatter_max_abs": float}.
+    "raster_edge_frac": float, "scatter_max_abs": float,
+    "attn_max_abs": float}.
     """
     import jax
     import jax.numpy as jnp
@@ -152,12 +159,36 @@ def parity_gate(mesh, K) -> dict:
     )
     scatter_max = max(scatter_max, float(jnp.max(jnp.abs(ours_f - ref_f))))
 
+    # --- fused attention core: compiled kernel vs XLA math at the
+    # RefineNet transformer-head shape (this is the exact dispatch the
+    # refine/score forwards take on TPU; see ops/attention.py).
+    from foundationpose_tpu.ops.attention import (
+        _attention_core_pallas,
+        _attention_core_xla,
+        _routes_to_pallas,
+    )
+
+    B_a, L_a, D_a, H_a = 252, 400, 512, 4
+    assert _routes_to_pallas(jnp.bfloat16, D_a, H_a), (
+        "bench shape no longer routes to the Pallas attention kernel"
+    )
+    qkv = jnp.asarray(
+        np.random.default_rng(3).uniform(-1, 1, (B_a, L_a, 3 * D_a)),
+        jnp.bfloat16,
+    )
+    a_pl = np.asarray(
+        jax.block_until_ready(_attention_core_pallas(qkv, H_a)), np.float32
+    )
+    a_ref = np.asarray(_attention_core_xla(qkv, H_a), np.float32)
+    attn_max = float(np.abs(a_pl - a_ref).max())
+
     ok = (
         mask_mismatch == 0
         and ovf == 0
         and raster_max < 2e-4
         and edge_frac < 0.04
         and scatter_max < 1e-4
+        and attn_max < 2e-3
     )
     if not ok:
         import sys
@@ -165,7 +196,7 @@ def parity_gate(mesh, K) -> dict:
         print(
             f"[parity FAILED] mask_mismatch={mask_mismatch} overflow={ovf} "
             f"raster_smooth_max={raster_max:.2e} edge_frac={edge_frac:.4f} "
-            f"scatter_max={scatter_max:.2e}",
+            f"scatter_max={scatter_max:.2e} attn_max={attn_max:.2e}",
             file=sys.stderr,
         )
     return {
@@ -173,6 +204,7 @@ def parity_gate(mesh, K) -> dict:
         "raster_smooth_max_abs": round(raster_max, 8),
         "raster_edge_frac": round(edge_frac, 5),
         "scatter_max_abs": round(scatter_max, 8),
+        "attn_max_abs": round(attn_max, 8),
     }
 
 
@@ -236,12 +268,18 @@ def stage_breakdown(est, K, n_hyp):
     def rsum(o):
         return o.color.sum() + o.xyz.sum()
 
-    render_f = jax.jit(lambda: rsum(render_mesh(
-        mt.pos, mt.faces, posesj, Kj, out_hw=(res, res), crop_tf=tf,
-        uv=mt.uv, tex=mt.tex, vertex_color=mt.vertex_color,
-        vnormals=mt.vnormals, use_light=True, method="pallas",
+    # All tensors enter as jit ARGUMENTS (not closed-over constants), so
+    # each timed stage compiles against runtime parameters — XLA can
+    # neither fold nor specialize on the inputs (ADVICE r4).
+    render_jit = jax.jit(lambda _mt, _p, _K, _tf: rsum(render_mesh(
+        _mt.pos, _mt.faces, _p, _K, out_hw=(res, res), crop_tf=_tf,
+        uv=_mt.uv, tex=_mt.tex, vertex_color=_mt.vertex_color,
+        vnormals=_mt.vnormals, use_light=True, method="pallas",
         tile=r.tile, max_faces_per_tile=r.max_faces_per_tile,
         cull_backfaces=r.cull_backfaces)))
+
+    def render_f():
+        return render_jit(mt, posesj, Kj, tf)
     rng = np.random.default_rng(1)
     c_in = 6 if not rcfg.use_normal else 9
     A = jnp.asarray(rng.uniform(0, 1, (n_hyp, res, res, c_in)), jnp.float32)
@@ -256,6 +294,7 @@ def stage_breakdown(est, K, n_hyp):
         "stage_refine_fwd_ms": round(timeit(lambda: refine_f(A, B)), 2),
         "stage_score_fwd_ms": round(timeit(lambda: score_f(A, B)), 2),
     }
+    flops = 0.0
     try:
         cost = refine_f.lower(A, B).compile().cost_analysis()
         flops = float((cost or {}).get("flops", 0.0))
@@ -265,6 +304,40 @@ def stage_breakdown(est, K, n_hyp):
             )
     except Exception:  # cost analysis is best-effort, backend-dependent
         pass
+
+    # Amortized DEVICE timing of the same forward (VERDICT r4 #8): K
+    # chained iterations inside one jitted fori_loop (data dependence so
+    # XLA cannot elide them), one scalar fetch, RTT subtracted — the
+    # `tools/profile_refine_segments.py` method behind the README's MFU
+    # claim, now emitted into the artifact so both methodologies live in
+    # the same JSON line. stage_refine_fwd_ms above includes per-call
+    # dispatch; this one is what the chip itself sustains.
+    K_loop = 10
+
+    @jax.jit
+    def refine_loop(a, b):
+        def body(i, carry):
+            outs = apply_refine_net(
+                est.refiner_params, rcfg.net,
+                (a + carry * 1e-30).astype(a.dtype), b,
+            )
+            return sum(v.sum() for v in outs.values()).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, K_loop, body, jnp.float32(0.0))
+
+    rtt_s = measure_tunnel_rtt_ms(n=8) / 1e3
+    np.asarray(refine_loop(A, B))  # compile
+    ts = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        np.asarray(refine_loop(A, B))
+        ts.append(time.perf_counter() - t0)
+    ms_dev = max(float(np.median(ts)) - rtt_s, 1e-9) * 1e3 / K_loop
+    out["stage_refine_fwd_ms_device"] = round(ms_dev, 2)
+    if flops > 0:
+        out["refine_fwd_tflops_per_s_device"] = round(
+            flops / (ms_dev / 1e3) / 1e12, 2
+        )
     return out
 
 
@@ -372,17 +445,21 @@ def main():
 
     # Secondary: tracking FPS (refine-only, 2 iterations/frame).
     # Pipelined end-to-end: each frame ships fresh host inputs packed
-    # into ONE buffer (cfg.track_pack), dispatch of frame N+1 overlaps
-    # the fetch of frame N (track_one_async), so the host<->chip round
-    # trip amortizes instead of serializing. The tunnel RTT, per-frame
-    # dispatch/fetch medians, and recovery counters are all recorded so
-    # the FPS number is attributable after the fact.
+    # into ONE buffer (cfg.track_pack); dispatches run up to 2k frames
+    # ahead and poses are fetched k AT A TIME with one RPC
+    # (fetch_track_results), so the tunnel round trip costs RTT/k per
+    # frame instead of RTT per frame (BENCH_r04: fetch 22.3 ms/frame ~=
+    # the 28.3 ms RTT — it was the dominant term). The tunnel RTT,
+    # per-frame dispatch/fetch medians, and recovery counters are all
+    # recorded so the FPS number is attributable after the fact.
     from collections import deque
+
+    from foundationpose_tpu.pipeline import fetch_track_results
 
     tunnel_rtt_ms = measure_tunnel_rtt_ms()
     est.track_one(rgb, depth, K, iteration=2)  # warmup/compile
     est.track_stats = {"frames": 0, "roi_recoveries": 0, "chain_repairs": 0}
-    n_track = 40
+    n_track, k_fetch = 48, 8
     frames = [
         (np.ascontiguousarray(rgb), np.ascontiguousarray(depth))
         for _ in range(n_track)
@@ -394,39 +471,73 @@ def main():
         ta = time.perf_counter()
         futs.append(est.track_one_async(frgb, fdepth, K, iteration=2))
         disp_s.append(time.perf_counter() - ta)
-        if len(futs) > 3:
+        if len(futs) >= 2 * k_fetch:
+            batch = [futs.popleft() for _ in range(k_fetch)]
             ta = time.perf_counter()
-            futs.popleft().result()
-            fetch_s.append(time.perf_counter() - ta)
+            fetch_track_results(batch)
+            fetch_s.append((time.perf_counter() - ta) / len(batch))
     while futs:
+        batch = [futs.popleft() for _ in range(min(k_fetch, len(futs)))]
         ta = time.perf_counter()
-        futs.popleft().result()
-        fetch_s.append(time.perf_counter() - ta)
+        fetch_track_results(batch)
+        fetch_s.append((time.perf_counter() - ta) / len(batch))
     track_fps = n_track / (time.perf_counter() - t0)
     track_diag = {
         "tunnel_rtt_ms": round(tunnel_rtt_ms, 1),
+        "track_fetch_batch": k_fetch,
         "track_dispatch_ms": round(float(np.median(disp_s)) * 1000, 1),
         "track_fetch_ms": round(float(np.median(fetch_s)) * 1000, 1),
         "track_roi_recoveries": est.track_stats["roi_recoveries"],
         "track_chain_repairs": est.track_stats["chain_repairs"],
     }
 
-    # Device-side tracking rate (async-queued, excludes the host<->chip
-    # round-trip latency of this environment's RPC tunnel).
+    # Tracking metric 2: DEVICE-CHAINED rate — k=32 packed frames are
+    # pre-staged on device and the 2-iter tracking step runs as a
+    # lax.scan chain over them (pipeline/graph.py::track_chain_graph,
+    # bit-identical per step to the per-frame packed graph, tested in
+    # tests/test_pipeline.py). One dispatch + one fetch covers 32
+    # frames, so neither host scheduling nor tunnel load can leak into
+    # the per-frame number: this is the chip-capability figure
+    # (BENCH_r04's "device rate" fell 342.6 -> 217.6 under host load
+    # because it still dispatched per frame). The windows are the SAME
+    # ROI-sized windows the e2e path streams.
     import jax.numpy as jnp
 
-    from foundationpose_tpu.pipeline.graph import track_graph
-
-    dev_args = (
-        est.refiner_params, est.cfg, est.mesh_tensors, est.pose_last,
-        jnp.asarray(K, jnp.float32), jnp.asarray(rgb, jnp.uint8),
-        jnp.asarray(depth, jnp.float32), jnp.float32(est.diameter),
+    from foundationpose_tpu.pipeline.graph import (
+        pack_track_frame,
+        track_chain_graph,
     )
-    jax.block_until_ready(track_graph(*dev_args, iterations=2))
-    t0 = time.perf_counter()
-    outs = [track_graph(*dev_args, iterations=2) for _ in range(20)]
-    jax.block_until_ready(outs)
-    device_track_fps = 20 / (time.perf_counter() - t0)
+
+    n_chain = 32
+    roi = est._track_roi_window(np.asarray(K, np.float32), H, W)
+    if roi is not None:
+        cx0, cy0, csz = roi
+        chain_rgb = rgb[cy0 : cy0 + csz, cx0 : cx0 + csz]
+        chain_depth = depth[cy0 : cy0 + csz, cx0 : cx0 + csz]
+    else:
+        cx0 = cy0 = 0
+        chain_rgb, chain_depth = rgb, depth
+    one = pack_track_frame(chain_rgb, chain_depth, cx0, cy0)
+    bufs = jax.block_until_ready(
+        jnp.asarray(np.broadcast_to(one, (n_chain,) + one.shape).copy())
+    )
+    chain_args = (
+        est.refiner_params, est.cfg, est.mesh_tensors, est.pose_last,
+        jnp.asarray(K, jnp.float32), bufs, jnp.float32(est.diameter),
+    )
+    chain_kw = dict(hw=chain_depth.shape, iterations=2)
+    np.asarray(track_chain_graph(*chain_args, **chain_kw))  # compile
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        # fetch the output (np.asarray) rather than block_until_ready:
+        # the only completion signal that is reliable across this RPC
+        # tunnel (see tools/profile_refine_segments.py). One RTT per 32
+        # frames rides the measurement; subtract it below.
+        np.asarray(track_chain_graph(*chain_args, **chain_kw))
+        ts.append(time.perf_counter() - t0)
+    t_chain = max(float(np.median(ts)) - tunnel_rtt_ms / 1e3, 1e-6)
+    device_track_fps = n_chain / t_chain
     import sys
 
     stages = stage_breakdown(est, K, n_hyp)
