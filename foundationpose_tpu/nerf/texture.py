@@ -74,8 +74,15 @@ def bake_texture(
     tex_res: int = 1024,
     depth_tol: float = 0.01,
     top_views: int = 4,
+    uniform_blend: bool = False,
 ) -> TriMesh:
-    """Returns a copy of `mesh` with texture + per-vertex-split UVs."""
+    """Returns a copy of `mesh` with texture + per-vertex-split UVs.
+
+    `uniform_blend=True` reproduces the reference's blend exactly
+    (uniform average of the visible top-4 views); the default weights
+    those same views by incidence cosine — a documented deviation that
+    de-emphasizes grazing views (see the blend comment below).
+    """
     V = mesh.vertices
     F = mesh.faces
     n_views = len(rgbs)
@@ -118,12 +125,20 @@ def bake_texture(
     visible = inb & (np.abs(dm - c_cam[..., 2]) < depth_tol) & (cos > 0)
     score = np.where(visible, cos, -1.0)
     n_blend = max(1, min(top_views, n_views))
-    # top-N views per face by incidence cosine, descending
-    # (reference: per-triangle top-4 by angle, nerf_runner.py:1174-1180)
+    # Top-N views per face by incidence cosine, descending. The VIEW
+    # SELECTION matches the reference (per-triangle top-4 by angle,
+    # nerf_runner.py:1174-1180); the BLEND deliberately deviates: the
+    # reference averages its top-4 with uniform 0/1 weights normalized
+    # by count, while we weight by the incidence cosine so grazing
+    # views contribute less than frontal ones (less smearing at
+    # silhouettes). Pass uniform_blend=True for the reference's
+    # uniform average.
     top_idx = np.argsort(-score, axis=0)[:n_blend]  # (N, F)
     top_w = np.maximum(
         score[top_idx, np.arange(len(F))[None]], 0.0
     )  # (N, F) cosine weights; 0 for invisible ranks
+    if uniform_blend:
+        top_w = (top_w > 0).astype(top_w.dtype)
     has_view = top_w[0] > 0
 
     # --- atlas
