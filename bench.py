@@ -341,6 +341,11 @@ def stage_breakdown(est, K, n_hyp):
     return out
 
 
+import sys
+
+def _progress(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -370,7 +375,9 @@ def main():
     gt[:3, 3] = [0.02, -0.01, 0.9]
 
     # Verify the compiled kernels on this chip BEFORE timing them.
+    _progress("parity gate...")
     parity = parity_gate(mesh, K)
+    _progress("parity done")
 
     # Synthetic observation rendered with the same rasterizer.
     out = render_mesh(
@@ -396,26 +403,50 @@ def main():
         refiner=RefinerCfg(raster=raster),
         scorer=ScorerCfg(mode="network", raster=raster),
     )
-    # Random-init weights, passed explicitly: the benchmark times the
-    # REAL network path (refine x5 + score); accuracy needs trained or
-    # converted checkpoints.
+    # Random-init trunk + ZEROED delta heads, passed explicitly: the
+    # benchmark times the REAL network path (refine x5 + score) with
+    # identical FLOPs to any trained checkpoint; accuracy needs trained
+    # or converted weights. Zero heads = zero pose deltas = the
+    # steady-state of a converged tracker on a static scene. Random
+    # nonzero heads are the wrong workload for a throughput number:
+    # full-range tanh deltas (~diameter/2 per iteration) walk every
+    # register out of its ROI window (8/8 timed registers paid window +
+    # full-frame recovery, r5 measured), and even 1e-3-scaled heads
+    # drift the tracked pose until its crop clips the frame edge, at
+    # which point the containment recovery + in-flight chain repair
+    # correctly but expensively re-run everything (3.2 FPS measured).
+    # The recovery paths have their own tests (tests/test_pipeline.py);
+    # the bench measures the violation-free steady state and reports
+    # the recovery counters so a nonzero count flags a regression.
     import jax
+    import jax.numpy as jnp
 
     from foundationpose_tpu.models.networks import (
         init_refine_net,
         init_score_net,
     )
 
+    refiner_params = init_refine_net(jax.random.PRNGKey(0), cfg.refiner.net)
+    for head in ("trans_head", "rot_head"):
+        refiner_params[head]["1"]["kernel"] = jnp.zeros_like(
+            refiner_params[head]["1"]["kernel"]
+        )
+        refiner_params[head]["1"]["bias"] = jnp.zeros_like(
+            refiner_params[head]["1"]["bias"]
+        )
+
     est = FoundationPose(
         mesh=mesh,
         cfg=cfg,
-        refiner_params=init_refine_net(jax.random.PRNGKey(0), cfg.refiner.net),
+        refiner_params=refiner_params,
         scorer_params=init_score_net(jax.random.PRNGKey(1), cfg.scorer.net),
     )
     n_hyp = int(np.asarray(est.hyp_valid).sum())
 
     # Warmup (compile), then timed runs.
+    _progress("register warmup...")
     est.register(K, rgb, depth, mask, iteration=5)
+    _progress("register timing...")
     times = []
     for _ in range(7):
         t0 = time.perf_counter()
@@ -423,6 +454,15 @@ def main():
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
     hyp_per_s = n_hyp / t
+    # Attribution: the upload-window size the registers used (None =
+    # full frame) and whether any containment recovery re-ran a frame.
+    reg_roi = est._register_roi_window(
+        np.asarray(K), np.asarray(depth), np.asarray(mask)
+    )
+    register_diag = {
+        "register_roi_px": 0 if reg_roi is None else int(reg_roi[2]),
+        "register_roi_recoveries": int(est.register_roi_recoveries),
+    }
 
     # Secondary: the documented funneled preset (fast_register: prune@2
     # keep 64) on the SAME workload. Parity stays the headline; this
@@ -434,6 +474,7 @@ def main():
         refiner_params=est.refiner_params,
         scorer_params=est.scorer_params,
     )
+    _progress("funneled warmup...")
     est_f.register(K, rgb, depth, mask, iteration=5)  # warmup/compile
     times_f = []
     for _ in range(5):
@@ -456,6 +497,7 @@ def main():
 
     from foundationpose_tpu.pipeline import fetch_track_results
 
+    _progress("tracking section...")
     tunnel_rtt_ms = measure_tunnel_rtt_ms()
     est.track_one(rgb, depth, K, iteration=2)  # warmup/compile
     est.track_stats = {"frames": 0, "roi_recoveries": 0, "chain_repairs": 0}
@@ -464,27 +506,55 @@ def main():
         (np.ascontiguousarray(rgb), np.ascontiguousarray(depth))
         for _ in range(n_track)
     ]  # distinct buffers -> real per-frame H2D transfers
-    futs: deque = deque()
+    # Producer/consumer overlap: the main thread only dispatches; a
+    # single consumer thread drains poses in dispatch order, k at a
+    # time (fetch_track_results). Inline fetches would stall the
+    # dispatch loop for the batch-fetch's ~2 tunnel RTTs every k
+    # frames (BENCH r5 interim: 21.8 FPS with inline batched fetches —
+    # fetch and dispatch each ~13 ms/frame, serialized). Overlapped,
+    # the wall per frame is max(dispatch, fetch/k), not the sum; pose
+    # values and the containment/repair cascade are unchanged because
+    # fetches still run strictly in dispatch order.
+    import queue
+    import threading
+
+    # maxsize bounds dispatch-ahead (backpressure keeps ROI placement
+    # from going arbitrarily stale on moving scenes)
+    futs: "queue.Queue" = queue.Queue(maxsize=2 * k_fetch)
     disp_s, fetch_s = [], []
+
+    def consumer():
+        pend = []
+        while True:
+            item = futs.get()
+            if item is None:
+                break
+            pend.append(item)
+            if len(pend) >= k_fetch:
+                ta = time.perf_counter()
+                fetch_track_results(pend)
+                fetch_s.append((time.perf_counter() - ta) / len(pend))
+                pend = []
+        if pend:
+            ta = time.perf_counter()
+            fetch_track_results(pend)
+            fetch_s.append((time.perf_counter() - ta) / len(pend))
+
+    th = threading.Thread(target=consumer)
     t0 = time.perf_counter()
+    th.start()
     for frgb, fdepth in frames:
         ta = time.perf_counter()
-        futs.append(est.track_one_async(frgb, fdepth, K, iteration=2))
+        fut = est.track_one_async(frgb, fdepth, K, iteration=2)
         disp_s.append(time.perf_counter() - ta)
-        if len(futs) >= 2 * k_fetch:
-            batch = [futs.popleft() for _ in range(k_fetch)]
-            ta = time.perf_counter()
-            fetch_track_results(batch)
-            fetch_s.append((time.perf_counter() - ta) / len(batch))
-    while futs:
-        batch = [futs.popleft() for _ in range(min(k_fetch, len(futs)))]
-        ta = time.perf_counter()
-        fetch_track_results(batch)
-        fetch_s.append((time.perf_counter() - ta) / len(batch))
+        futs.put(fut)  # blocks only when the consumer falls k*2 behind
+    futs.put(None)
+    th.join()
     track_fps = n_track / (time.perf_counter() - t0)
     track_diag = {
         "tunnel_rtt_ms": round(tunnel_rtt_ms, 1),
         "track_fetch_batch": k_fetch,
+        "track_fetch_overlap": True,
         "track_dispatch_ms": round(float(np.median(disp_s)) * 1000, 1),
         "track_fetch_ms": round(float(np.median(fetch_s)) * 1000, 1),
         "track_roi_recoveries": est.track_stats["roi_recoveries"],
@@ -526,6 +596,7 @@ def main():
         jnp.asarray(K, jnp.float32), bufs, jnp.float32(est.diameter),
     )
     chain_kw = dict(hw=chain_depth.shape, iterations=2)
+    _progress("chain metric...")
     np.asarray(track_chain_graph(*chain_args, **chain_kw))  # compile
     ts = []
     for _ in range(5):
@@ -565,8 +636,9 @@ def main():
                 "vs_baseline": round(hyp_per_s / BASELINE_HYP_PER_S, 3),
                 "baseline_basis": BASELINE_BASIS,
                 "register_hyp_per_s_funneled": round(hyp_per_s_funneled, 2),
+                **register_diag,
                 "tracking_fps_end_to_end": round(track_fps, 1),
-                "tracking_fps_device": round(device_track_fps, 1),
+                "tracking_fps_device_chain": round(device_track_fps, 1),
                 **track_diag,
                 **stages,
                 **parity,

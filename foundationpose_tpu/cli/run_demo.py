@@ -104,6 +104,8 @@ def main(argv=None):
     # track_one calls; only fetch timing changes.
     from collections import deque
 
+    from foundationpose_tpu.pipeline import fetch_track_results
+
     pending: deque = deque()  # (frame_idx, TrackResult, color)
     for i in range(len(reader.color_files)):
         color = reader.get_color(i)
@@ -122,12 +124,19 @@ def main(argv=None):
                     iteration=args.track_refine_iter,
                 ), color)
             )
-            if len(pending) > 3:
-                j, fut, c = pending.popleft()
-                finish_frame(j, fut.result(), c)
+            # Drain in batches of 4: one stacked device fetch per batch
+            # (fetch_track_results) instead of one tunnel round trip per
+            # pose, while staying 4-8 frames ahead of the device.
+            if len(pending) >= 8:
+                batch = [pending.popleft() for _ in range(4)]
+                poses = fetch_track_results([f for _, f, _ in batch])
+                for (j, _f, c), p in zip(batch, poses):
+                    finish_frame(j, p, c)
     while pending:
-        j, fut, c = pending.popleft()
-        finish_frame(j, fut.result(), c)
+        batch = [pending.popleft() for _ in range(min(4, len(pending)))]
+        poses = fetch_track_results([f for _, f, _ in batch])
+        for (j, _f, c), p in zip(batch, poses):
+            finish_frame(j, p, c)
 
 
 if __name__ == "__main__":

@@ -64,9 +64,44 @@ def delta_targets(poseA, poseB, cfg: RefinerCfg, mesh_diameter):
     return trans_t, rot_t
 
 
+def _occlude_crops(key, b, prob, max_frac):
+    """Foreground-occluder augmentation on observation crops (n, res,
+    res, C>=6): with probability `prob` per sample, a random rectangle
+    (half-extent up to max_frac*res/2 per axis) is replaced by a flat
+    random color with ALL geometry channels (xyz + optional normals)
+    zeroed — the signature a real occluder leaves after the invalid-z
+    masking in make_crop_inputs. The reference trained on datasets with
+    physical occluders (SURVEY.md §2.5); this is the online-generation
+    equivalent."""
+    n, res = b.shape[0], b.shape[1]
+    kc, kh, kp, kcol = jax.random.split(key, 4)
+    center = jax.random.uniform(kc, (n, 2), minval=0.1 * res, maxval=0.9 * res)
+    half = jax.random.uniform(
+        kh, (n, 2), minval=0.08 * res, maxval=max_frac * res / 2
+    )
+    apply = jax.random.uniform(kp, (n,)) < prob
+    col = jax.random.uniform(kcol, (n, 1, 1, 3), minval=0.05, maxval=0.9)
+    px = jnp.arange(res, dtype=jnp.float32)
+    in_x = (
+        jnp.abs(px[None, None, :] - center[:, 0, None, None])
+        < half[:, 0, None, None]
+    )
+    in_y = (
+        jnp.abs(px[None, :, None] - center[:, 1, None, None])
+        < half[:, 1, None, None]
+    )
+    occ = (in_x & in_y & apply[:, None, None])[..., None]
+    color = jnp.where(occ, col, b[..., :3])
+    geom = jnp.where(occ, 0.0, b[..., 3:])
+    return jnp.concatenate([color, geom], axis=-1)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n", "frame_hw", "rot_sigma", "trans_sigma"),
+    static_argnames=(
+        "cfg", "n", "frame_hw", "rot_sigma", "trans_sigma", "occlude_prob",
+        "occlude_max_frac",
+    ),
 )
 def make_refiner_batch(
     key: jax.Array,
@@ -78,15 +113,19 @@ def make_refiner_batch(
     frame_hw: tuple[int, int] = (480, 640),
     rot_sigma: float = 0.15,
     trans_sigma: float = 0.01,
+    occlude_prob: float = 0.0,
+    occlude_max_frac: float = 0.5,
 ):
     """Fully on-device synthetic refiner batch: renders the observation
     (gt pose) and the hypothesis (perturbed pose) crops and returns
     {'A','B','trans_target','rot_target'}. rot/trans_sigma set the
     perturbation scale — train with ~half the rotation-grid spacing to
-    give registration hypotheses a wide convergence basin."""
+    give registration hypotheses a wide convergence basin. occlude_prob
+    applies _occlude_crops to the observation branch (robustness to
+    foreground occluders)."""
     from ..ops.rasterizer import render_mesh
 
-    k1, k2 = jax.random.split(key)
+    k1, k2, k_occ = jax.random.split(key, 3)
     poseA, poseB = sample_pose_pairs(
         k1, n, rot_sigma=rot_sigma, trans_sigma=trans_sigma
     )
@@ -123,6 +162,8 @@ def make_refiner_batch(
         invalid = invalid | (jnp.abs(xyz_b) >= 2)
         xyz_b = jnp.where(invalid, 0.0, xyz_b)
     b = jnp.concatenate([rend.color, xyz_b], axis=-1)
+    if occlude_prob > 0:
+        b = _occlude_crops(k_occ, b, occlude_prob, occlude_max_frac)
 
     trans_t, rot_t = delta_targets(poseA, poseB, cfg, mesh_diameter)
     return {
@@ -135,8 +176,31 @@ def make_refiner_batch(
     }
 
 
+def _occlude_frame(key, color, xyz, center_px, r_px, prob, max_frac):
+    """Frame-space occluder for scorer batches: ONE rectangle shared by
+    the whole hypothesis group (all crops view the same observation),
+    placed within the object's projected extent; flat random color,
+    geometry zeroed (invalid)."""
+    kp, kc, kh, kcol = jax.random.split(key, 4)
+    apply = jax.random.uniform(kp, ()) < prob
+    c = center_px + jax.random.uniform(kc, (2,), minval=-0.6, maxval=0.6) * r_px
+    half = jax.random.uniform(kh, (2,), minval=0.25, maxval=max_frac) * r_px
+    col = jax.random.uniform(kcol, (3,), minval=0.05, maxval=0.9)
+    H, W = color.shape[:2]
+    ux = jnp.arange(W, dtype=jnp.float32)[None, :]
+    uy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    occ = (
+        (jnp.abs(ux - c[0]) < half[0]) & (jnp.abs(uy - c[1]) < half[1]) & apply
+    )[..., None]
+    return jnp.where(occ, col, color), jnp.where(occ, 0.0, xyz)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n", "frame_hw", "rot_sigma", "trans_sigma")
+    jax.jit,
+    static_argnames=(
+        "cfg", "n", "frame_hw", "rot_sigma", "trans_sigma", "occlude_prob",
+        "occlude_max_frac",
+    ),
 )
 def make_scorer_batch(
     key: jax.Array,
@@ -149,6 +213,8 @@ def make_scorer_batch(
     rot_sigma: float = 1.2,
     trans_sigma: float = 0.03,
     scene_key: jax.Array | None = None,
+    occlude_prob: float = 0.0,
+    occlude_max_frac: float = 0.7,
 ):
     """One hypothesis GROUP around one gt pose for contrastive scorer
     training (training.score_loss_fn): the observation frame is rendered
@@ -158,7 +224,7 @@ def make_scorer_batch(
     (fixed-scene training) while `key` varies the perturbations."""
     from ..ops.rasterizer import render_mesh
 
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k_occ = jax.random.split(key, 4)
     if scene_key is not None:
         k1 = scene_key
     _, poseB1 = sample_pose_pairs(k1, 1)
@@ -184,8 +250,20 @@ def make_scorer_batch(
         cull_backfaces=cfg.raster.cull_backfaces,
         pose_block=cfg.raster.pose_block,
     )
+    color_f, xyz_f = out.color[0], out.xyz[0]
+    if occlude_prob > 0:
+        z = gt[2, 3]
+        f = (K[0, 0] + K[1, 1]) / 2.0
+        center_px = jnp.stack(
+            [K[0, 0] * gt[0, 3] / z + K[0, 2], K[1, 1] * gt[1, 3] / z + K[1, 2]]
+        )
+        r_px = f * jnp.asarray(mesh_diameter) / 2.0 / z
+        color_f, xyz_f = _occlude_frame(
+            k_occ, color_f, xyz_f, center_px, r_px, occlude_prob,
+            occlude_max_frac,
+        )
     a, b, _tf = make_crop_inputs(
-        mesh, hyp, K, out.color[0], out.xyz[0], mesh_diameter,
+        mesh, hyp, K, color_f, xyz_f, mesh_diameter,
         input_res=cfg.input_res, crop_ratio=cfg.crop_ratio,
         normalize_xyz=cfg.normalize_xyz, invalid_z=cfg.xyz_invalid_z,
         use_normal=cfg.use_normal, raster=cfg.raster,

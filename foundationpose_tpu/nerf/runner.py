@@ -80,6 +80,33 @@ def sample_pdf(bins, weights, n_samples, key, perturb=True):
     return bins_b + t * (bins_a - bins_b)
 
 
+def subset_near_band(z, valid, depth, trunc, neg_trunc_ratio, keep, key,
+                     near=None, far=None):
+    """Keep the `keep` samples per ray nearest the depth supervision
+    band [depth - trunc, depth + trunc*neg_trunc_ratio] (NerfCfg.
+    occ_keep_frac): all in-band samples rank first (ties break
+    uniformly at random so the in-band subset stays unbiased when the
+    band itself overflows `keep`), then out-of-band by distance to the
+    band; invalid samples rank last. Rays without usable depth keep a
+    random subset. Returns (z_kept, valid_kept) with per-ray ascending
+    index order preserved, so downstream band rendering sees the same
+    ordering contract as the full set."""
+    lo = depth[:, None] - trunc
+    hi = depth[:, None] + trunc * neg_trunc_ratio
+    dist = jnp.maximum(lo - z, 0.0) + jnp.maximum(z - hi, 0.0)
+    if near is not None:
+        has_d = (depth >= near) & (depth <= far)
+        dist = jnp.where(has_d[:, None], dist, 0.0)
+    tie = jax.random.uniform(key, z.shape) * 1e-5
+    rank = jnp.where(valid, -dist - tie, -jnp.inf)
+    _, idx = jax.lax.top_k(rank, keep)
+    idx = jnp.sort(idx, axis=-1)
+    return (
+        jnp.take_along_axis(z, idx, axis=-1),
+        jnp.take_along_axis(valid, idx, axis=-1),
+    )
+
+
 def make_frame_rays(rgb, depth, mask, K, frame_id, dilate=0):
     """Per-frame ray records (nerf_runner.py:247-317, CV convention).
 
@@ -261,7 +288,7 @@ class NerfRunner:
         if trunc is None:
             trunc = cfg.trunc * cfg.sc_factor
 
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         z_occ, valid_occ = sample_occupied(
             occ,
             rays_o_w,
@@ -273,6 +300,16 @@ class NerfRunner:
             far_clip=far_clip,
             candidate_mult=cfg.candidate_mult,
         )
+        if cfg.occ_keep_frac is not None and cfg.occ_keep_frac < 1.0:
+            # Importance subsetting after the occupancy pass (the step
+            # cost is points x hash-grid gathers; the gather itself is
+            # at its descriptor floor — see README): drop the occupancy
+            # samples farthest from the depth band.
+            keep = max(1, int(round(cfg.n_samples * cfg.occ_keep_frac)))
+            z_occ, valid_occ = subset_near_band(
+                z_occ, valid_occ, depth, trunc, cfg.neg_trunc_ratio,
+                keep, k4, near=cfg.near * cfg.sc_factor, far=far_clip,
+            )
 
         z_all = z_occ
         valid_all = valid_occ

@@ -101,6 +101,16 @@ class EstimatorCfg:
     # the r4 profile pinned ~45-60 ms of each register on host/tunnel
     # upload. False streams rgb/f32 depth/mask as separate transfers.
     register_pack: bool = True
+    # Ship only a detection-sized window for register() uploads (needs
+    # register_pack): a square around the mask covering the projected
+    # crop extent x register_roi_margin, K shifted on device — the
+    # same exact viewport reparameterization as track_roi. After the
+    # run, the winner's crop containment is verified on host and the
+    # frame transparently re-runs full-frame on violation (mirrors the
+    # tracking recovery). ~1/3 the upload bytes on a 640x480 frame with
+    # a mid-sized object. False ships the full frame.
+    register_roi: bool = True
+    register_roi_margin: float = 1.8
     # Hypothesis funneling (OFF by default = reference-parity register):
     # refine ALL hypotheses for `prune_after_iter` iterations, rank them
     # with the weights-free depth-alignment score, then run the

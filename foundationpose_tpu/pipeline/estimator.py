@@ -216,6 +216,7 @@ class FoundationPose:
         # / chain-repair machinery actually fired — so a recorded FPS
         # number can be attributed after the fact.
         self.track_stats = {"frames": 0, "roi_recoveries": 0, "chain_repairs": 0}
+        self.register_roi_recoveries = 0
         self.device_mesh = None
         if n_devices is not None and n_devices > 1:
             from ..parallel.sharding import make_device_mesh
@@ -348,6 +349,49 @@ class FoundationPose:
     # single dispatch + result fetch per frame, which is what keeps
     # per-frame latency sane when the TPU sits behind an RPC tunnel.
 
+    def _register_roi_window(self, K, depth_np, mask_np):
+        """Detection-sized square upload window for register().
+
+        Sized from the projected crop extent at the mask's median depth
+        (x register_roi_margin, the same slack rule as the tracking
+        ROI), placed on the mask centroid, snapped to 64-px buckets so
+        jit buckets stay coarse. Returns (x0, y0, size) or None for
+        full-frame (window would not shrink the upload, or the mask
+        bbox cannot be contained)."""
+        if not (self.cfg.register_roi and self.cfg.register_pack):
+            return None
+        H, W = depth_np.shape
+        ys, xs = np.nonzero(mask_np)
+        if len(ys) == 0:
+            return None
+        vals = depth_np[ys, xs]
+        vals = vals[vals >= 0.001]
+        if len(vals) == 0:
+            return None
+        z = float(np.median(vals))
+        f = float(max(K[0, 0], K[1, 1]))
+        crop_px = f * (self.diameter * self.cfg.refiner.crop_ratio) / z
+        size = int(
+            np.ceil((crop_px * self.cfg.register_roi_margin + 16) / 64) * 64
+        )
+        # the translation guess reads the mask: the window must cover the
+        # whole detection (+ filter halo)
+        size = max(
+            size,
+            int(np.ceil((int(xs.max() - xs.min()) + 17) / 64) * 64),
+            int(np.ceil((int(ys.max() - ys.min()) + 17) / 64) * 64),
+        )
+        if size >= min(H, W):
+            return None
+        x0 = int(np.clip(round(float(xs.mean()) - size / 2), 0, W - size))
+        y0 = int(np.clip(round(float(ys.mean()) - size / 2), 0, H - size))
+        if (
+            xs.min() < x0 or xs.max() >= x0 + size
+            or ys.min() < y0 or ys.max() >= y0 + size
+        ):
+            return None  # centroid-off-center detection; ship the frame
+        return x0, y0, size
+
     def register(self, K, rgb, depth, ob_mask, ob_id=None, iteration=5) -> np.ndarray:
         """Single-frame pose estimation (estimater.py:159-240)."""
         from .graph import (
@@ -358,6 +402,7 @@ class FoundationPose:
 
         mask_np = np.asarray(ob_mask)
         depth_np = np.asarray(depth)
+        K_np = np.asarray(K)
         valid = (depth_np >= 0.001) & (mask_np > 0)
         if valid.sum() < 4:
             # Degenerate input: identity rotation at the translation guess
@@ -365,28 +410,72 @@ class FoundationPose:
             logger.info("valid region too small; returning translation guess")
             pose = np.eye(4)
             pose[:3, 3] = guess_translation(
-                depth_np, mask_np, np.asarray(K)
+                depth_np, mask_np, K_np
             )
             return pose
 
         iters = int(iteration) if self.has_refiner else 0
-        if self.cfg.register_pack and (depth_np.size % 8 == 0):
+        rgb_np = np.asarray(rgb)
+        H, W = depth_np.shape
+
+        def run_packed(roi):
+            if roi is None:
+                x0 = y0 = 0
+                win = (rgb_np, depth_np, mask_np)
+                hw = depth_np.shape
+            else:
+                x0, y0, size = roi
+                win = (
+                    rgb_np[y0 : y0 + size, x0 : x0 + size],
+                    depth_np[y0 : y0 + size, x0 : x0 + size],
+                    mask_np[y0 : y0 + size, x0 : x0 + size],
+                )
+                hw = (size, size)
             buf = pack_register_frame(
-                np.asarray(rgb), depth_np.astype(np.float32), mask_np
+                win[0], win[1].astype(np.float32), win[2], x0, y0
             )
-            order, refined, scores, _center, _n = register_graph_packed(
+            return register_graph_packed(
                 self.refiner_params,
                 self.scorer_params,
                 self.cfg,
                 self.mesh_tensors,
                 self.rot_grid,
                 self.hyp_valid,
-                jnp.asarray(K, dtype=jnp.float32),
+                jnp.asarray(K_np, dtype=jnp.float32),
                 jnp.asarray(buf),
                 jnp.float32(self.diameter),
-                hw=depth_np.shape,
+                hw=hw,
                 iterations=iters,
             )
+
+        roi = None
+        best_host = None
+        if self.cfg.register_pack and (depth_np.size % 8 == 0):
+            roi = self._register_roi_window(K_np, depth_np, mask_np)
+            out = run_packed(roi)
+            if roi is not None:
+                # The winner's crop must have been contained in the
+                # shipped window, else its observed crop lost in-frame
+                # content vs full-frame mode: verify on host and re-run
+                # full-frame on violation (same recovery contract as
+                # tracking; the window margin makes this rare). Stream
+                # the order alongside so this fetch costs no extra
+                # round trip over the one the epilogue pays anyway.
+                try:
+                    out[0].copy_to_host_async()
+                    out[1].copy_to_host_async()
+                except AttributeError:
+                    pass
+                best_host = np.asarray(out[1][0], np.float64).reshape(4, 4)
+                if not self._roi_contains_pose(best_host, K_np, H, W, roi):
+                    logger.info(
+                        "register ROI violated (winner outran the "
+                        "window); re-running full-frame"
+                    )
+                    self.register_roi_recoveries += 1
+                    out = run_packed(None)
+                    best_host = None
+            order, refined, scores, _center, _n = out
         else:
             order, refined, scores, _center, _n = register_graph(
                 self.refiner_params,
@@ -395,7 +484,7 @@ class FoundationPose:
                 self.mesh_tensors,
                 self.rot_grid,
                 self.hyp_valid,
-                jnp.asarray(K, dtype=jnp.float32),
+                jnp.asarray(K_np, dtype=jnp.float32),
                 jnp.asarray(rgb, dtype=jnp.uint8),
                 jnp.asarray(depth, dtype=jnp.float32),
                 jnp.asarray(mask_np),
@@ -415,7 +504,11 @@ class FoundationPose:
             pass
         self.best_id = int(order[0])
         self._guess_center = np.asarray(_center, dtype=np.float64)
-        self._pose_hint = np.asarray(self.pose_last, dtype=np.float64)
+        self._pose_hint = (
+            best_host
+            if best_host is not None
+            else np.asarray(self.pose_last, dtype=np.float64)
+        )
         self._chain_repair = None  # fresh chain
         self.track_stats = {"frames": 0, "roi_recoveries": 0, "chain_repairs": 0}
         best_pose = self._pose_hint @ self.get_tf_to_centered_mesh()

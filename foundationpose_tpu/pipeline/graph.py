@@ -201,38 +201,52 @@ def register_graph(
     )
 
 
-def pack_register_frame(rgb_u8, depth_f32, mask) -> "np.ndarray":
+REGISTER_PACK_FOOTER = 8  # (x0, y0) window offset as 2 u16 LE + padding
+
+
+def pack_register_frame(rgb_u8, depth_f32, mask, x0: int = 0, y0: int = 0) -> "np.ndarray":
     """Host-side: pack a register frame's rgb + depth + mask into ONE
     flat uint8 buffer — rgb u8 (3 B/px) + depth as u16 0.25 mm fixed
     point (2 B/px, same quantum as the tracking wire format) + the mask
-    as a BIT PLANE (1 b/px). One host->device transfer instead of three
-    and ~64% of the bytes (2.46 -> 1.57 MB at 640x480): the r4 profile
-    pinned register's wall-minus-device gap at ~45-60 ms of host/tunnel
-    upload while tracking already had a packed format
-    (pack_track_frame); this closes that asymmetry."""
+    as a BIT PLANE (1 b/px) + an 8-byte (x0, y0) window-offset footer.
+    One host->device transfer instead of three and ~64% of the bytes
+    (2.46 -> 1.57 MB at 640x480): the r4 profile pinned register's
+    wall-minus-device gap at ~45-60 ms of host/tunnel upload while
+    tracking already had a packed format (pack_track_frame); this
+    closes that asymmetry. With (x0, y0) set, the images are a window
+    of the full frame and the graph shifts K's principal point exactly
+    like the tracking ROI path — estimator._register_roi_window ships
+    only a detection-sized window (~0.5 MB typical) instead of the
+    frame."""
     import numpy as np
 
     H, W = depth_f32.shape
     n_px = H * W
     assert n_px % 8 == 0, "frame pixel count must be a multiple of 8"
     n_img = n_px * 5
-    buf = np.empty(n_img + n_px // 8, np.uint8)
+    buf = np.empty(n_img + n_px // 8 + REGISTER_PACK_FOOTER, np.uint8)
     img = buf[:n_img].reshape(H, W, 5)
     img[..., :3] = rgb_u8
     mm = np.clip(
         np.nan_to_num(depth_f32) * DEPTH_PACK_SCALE + 0.5, 0, 65535
     ).astype(np.uint16)
-    img[..., 3:5] = mm.view(np.uint8).reshape(H, W, 2)
-    buf[n_img:] = np.packbits(
+    # byte-split without .view(): device-fetched frames can arrive
+    # F-contiguous (axon zero-copy), where a dtype view is invalid
+    img[..., 3] = (mm & 0xFF).astype(np.uint8)
+    img[..., 4] = (mm >> 8).astype(np.uint8)
+    buf[n_img:-REGISTER_PACK_FOOTER] = np.packbits(
         np.asarray(mask).reshape(-1) != 0, bitorder="little"
     )
+    buf[-REGISTER_PACK_FOOTER:] = [
+        x0 & 255, x0 >> 8, y0 & 255, y0 >> 8, 0, 0, 0, 0,
+    ]
     return buf
 
 
 def unpack_register_frame(buf: jax.Array, hw: tuple[int, int]):
     """Device-side inverse of pack_register_frame: (rgb [0,1] f32,
-    depth f32 meters, mask uint8 0/1). Tested directly against host
-    inputs in tests/test_pipeline.py."""
+    depth f32 meters, mask uint8 0/1, x0, y0). Tested directly against
+    host inputs in tests/test_pipeline.py."""
     H, W = hw
     n_px = H * W
     n_img = n_px * 5
@@ -243,11 +257,14 @@ def unpack_register_frame(buf: jax.Array, hw: tuple[int, int]):
     depth_raw = (lo + hi * jnp.uint16(256)).astype(jnp.float32) * (
         1.0 / DEPTH_PACK_SCALE
     )
-    bits = buf[n_img:]  # little-endian bit plane (np.packbits)
+    bits = buf[n_img:-REGISTER_PACK_FOOTER]  # LE bit plane (np.packbits)
     mask = (
         (bits[:, None] >> jnp.arange(8, dtype=jnp.uint8)[None]) & 1
     ).reshape(H, W)
-    return rgb, depth_raw, mask
+    foot = buf[-REGISTER_PACK_FOOTER:].astype(jnp.float32)
+    x0 = foot[0] + foot[1] * 256.0
+    y0 = foot[2] + foot[3] * 256.0
+    return rgb, depth_raw, mask, x0, y0
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "hw", "iterations"))
@@ -268,8 +285,11 @@ def register_graph_packed(
     the same _register_body as the unpacked graph (roundtrip-tested in
     tests/test_pipeline.py). Depth quantization is <= 0.125 mm — an
     order of magnitude under sensor noise and 16x under the 2 mm
-    accuracy gates."""
-    rgb, depth_raw, mask = unpack_register_frame(buf, hw)
+    accuracy gates. A nonzero packed (x0, y0) means the images are a
+    window of the full frame: shifting K's principal point by it is the
+    exact viewport reparameterization the tracking ROI path uses."""
+    rgb, depth_raw, mask, x0, y0 = unpack_register_frame(buf, hw)
+    K = K.at[0, 2].add(-x0).at[1, 2].add(-y0)
     return _register_body(
         refiner_params, scorer_params, cfg, mesh, rot_grid, hyp_valid, K,
         rgb, depth_raw, mask, mesh_diameter, iterations,
@@ -334,7 +354,10 @@ def pack_track_frame(rgb_u8, depth_f32, x0: int, y0: int):
     mm = np.clip(
         np.nan_to_num(depth_f32) * DEPTH_PACK_SCALE + 0.5, 0, 65535
     ).astype(np.uint16)
-    img[..., 3:5] = mm.view(np.uint8).reshape(H, W, 2)
+    # byte-split without .view(): device-fetched frames can arrive
+    # F-contiguous (axon zero-copy), where a dtype view is invalid
+    img[..., 3] = (mm & 0xFF).astype(np.uint8)
+    img[..., 4] = (mm >> 8).astype(np.uint8)
     buf[n_img:] = [x0 & 255, x0 >> 8, y0 & 255, y0 >> 8, 0, 0, 0, 0]
     return buf
 

@@ -147,6 +147,112 @@ def bop_tree(tmp_path_factory):
     return bop, gt, meshes
 
 
+@pytest.fixture(scope="module")
+def trained_ckpts(bop_tree, tmp_path_factory):
+    """Train the mid-width refiner + scorer on the BOP tree's own meshes
+    and save them as native .npz checkpoints (config embedded by
+    FoundationPose.save_weights) for the trained-net CLI chain test.
+
+    Recipe mirrors tests/test_training.py::TestTrainedNetworkRegistration
+    (base_width=8, input_res=64, rot_sigma ~half grid spacing,
+    trans_sigma at translation-guess-error scale), alternating batches
+    between both objects so one net serves the whole dataset the way the
+    released FoundationPose checkpoints serve all of YCB-V."""
+    import jax
+    import jax.numpy as jnp
+
+    from foundationpose_tpu.models.networks import (
+        RefineNetCfg, ScoreNetCfg, init_refine_net, init_score_net,
+    )
+    from foundationpose_tpu.models.training import (
+        TrainCfg, make_optimizer, refine_train_step, score_train_step,
+    )
+    from foundationpose_tpu.datasets.synthetic import (
+        make_refiner_batch, make_scorer_batch,
+    )
+    from foundationpose_tpu.pipeline import (
+        EstimatorCfg, FoundationPose, RefinerCfg, ScorerCfg,
+        make_mesh_tensors,
+    )
+
+    _, _, meshes = bop_tree
+    meshes_m = []
+    for m in sorted(meshes):
+        mm = meshes[m]
+        m_m = TriMesh(
+            vertices=mm.vertices * 1e-3, faces=mm.faces,
+            vertex_colors=mm.vertex_colors,
+        )
+        meshes_m.append(m_m)
+    mts = [make_mesh_tensors(m) for m in meshes_m]
+    diams = [
+        jnp.float32(np.linalg.norm(m.vertices.max(0) - m.vertices.min(0)))
+        for m in meshes_m
+    ]
+    Kj = jnp.asarray(K.astype(np.float32))
+
+    rcfg = RefinerCfg(
+        net=RefineNetCfg(base_width=8), compute_dtype="float32",
+        input_res=64,
+    )
+    rparams = init_refine_net(jax.random.PRNGKey(7), rcfg.net)
+    tcfg = TrainCfg(lr=1e-3, compute_dtype="float32")
+    opt = make_optimizer(tcfg).init(rparams)
+    # Coarse phase at grid-spacing perturbations, then a fine-tune phase
+    # near convergence so the last refine iterations keep pulling once
+    # the pose is already close (the 5-iteration CLI run below spends
+    # most iterations inside the fine regime).
+    phases = [(300, 0.25, 0.05), (150, 0.08, 0.015)]
+    step = 0
+    for n_steps, rot_sigma, trans_sigma in phases:
+        for _ in range(n_steps):
+            i = step % 2
+            batch = make_refiner_batch(
+                jax.random.PRNGKey(100 + step), mts[i], Kj, rcfg, diams[i],
+                n=16, frame_hw=(120, 160), rot_sigma=rot_sigma,
+                trans_sigma=trans_sigma,
+            )
+            tb = {k: batch[k] for k in ("A", "B", "trans_target", "rot_target")}
+            rparams, opt, rloss = refine_train_step(
+                rparams, opt, rcfg.net, tcfg, tb
+            )
+            step += 1
+    assert np.isfinite(float(rloss))
+
+    scfg = ScorerCfg(
+        net=ScoreNetCfg(base_width=8), input_res=64, mode="network",
+        compute_dtype="float32",
+    )
+    sparams = init_score_net(jax.random.PRNGKey(8), scfg.net)
+    stcfg = TrainCfg(lr=3e-4, compute_dtype="float32")
+    sopt = make_optimizer(stcfg).init(sparams)
+    slosses = []
+    for step in range(300):
+        i = step % 2
+        # scene_key=None: a fresh gt pose every step — the scorer must
+        # rank hypothesis groups on scenes it has never seen, which is
+        # exactly what the CLI chain below asks of it.
+        sb = make_scorer_batch(
+            jax.random.PRNGKey(5000 + step), mts[i], Kj, scfg, diams[i],
+            n=16, frame_hw=(H, W),
+        )
+        sparams, sopt, sloss = score_train_step(
+            sparams, sopt, scfg.net, stcfg,
+            {k: sb[k] for k in ("A", "B", "target")},
+        )
+        slosses.append(float(sloss))
+    assert np.mean(slosses[-20:]) < np.mean(slosses[:20])
+
+    ckpt_dir = tmp_path_factory.mktemp("ckpts")
+    rp, sp = str(ckpt_dir / "refiner.npz"), str(ckpt_dir / "scorer.npz")
+    est = FoundationPose(
+        mesh=meshes_m[0], cfg=EstimatorCfg(refiner=rcfg, scorer=scfg),
+        refiner_params=rparams, scorer_params=sparams,
+    )
+    est.save_weights(refiner_path=rp, scorer_path=sp)
+    return rp, sp
+
+
 @pytest.mark.slow
 def test_run_bop_cli_end_to_end(bop_tree, tmp_path, monkeypatch):
     from foundationpose_tpu.cli.run_bop import main
@@ -191,3 +297,51 @@ def test_run_bop_cli_end_to_end(bop_tree, tmp_path, monkeypatch):
     # object choice, not the chain. Both numbers must still compute.
     assert score["ADDS_AUC"] > 0.5
     assert 0.0 <= score["ADD_AUC"] <= 1.0
+
+
+@pytest.mark.slow
+def test_run_bop_cli_trained_nets(bop_tree, trained_ckpts, tmp_path, monkeypatch):
+    """VERDICT r4 #4: the full disk->reader->CLI->AUC chain in its
+    accuracy-relevant configuration — natively-trained refiner AND
+    network scorer loaded from .npz checkpoints via --refiner_ckpt /
+    --scorer_ckpt, 5 refine iterations, the reference-default 252-pose
+    rotation grid — gated at ADDS_AUC >= 0.8 (mean ADD-S ~<= 2 cm over
+    the 10 cm AUC range). A crop-convention break, a checkpoint-config
+    mismatch, or a scorer regression all land far below this bar; the
+    weights-free test above only proves the file-level links.
+    Reference protocol: run_ycb_video.py:82-130."""
+    from foundationpose_tpu.cli.run_bop import main
+    from foundationpose_tpu.datasets import readers
+    from foundationpose_tpu.utils.metrics import adds_err
+
+    bop, gt, meshes = bop_tree
+    rp, sp = trained_ckpts
+    monkeypatch.setattr(readers, "BOP_DIR", str(bop))
+    out = tmp_path / "res_trained.yml"
+    argv = [
+        "--dataset", "icbin",
+        "--out", str(out),
+        "--est_refine_iter", "5",
+        "--refiner_ckpt", rp,
+        "--scorer_ckpt", sp,
+    ]
+    res = main(argv)
+    by_ob = res["icbin"]["1"]
+    assert set(by_ob.keys()) == {"1", "2"}
+
+    errs = {}
+    for (frame, ob_id), gt_pose in gt.items():
+        pose = np.asarray(by_ob[str(ob_id)][f"{frame:06d}"])
+        errs[(frame, ob_id)] = adds_err(
+            pose, gt_pose, meshes[ob_id].vertices * 1e-3
+        )
+    print("trained-net per-frame ADD-S:", errs)
+    # per-frame tripwire at the tiny-net plateau (~4 cm, see the
+    # calibration note in test_training.py); the load-bearing gate is
+    # the AUC below
+    for key, err in errs.items():
+        assert err < 0.05, (key, err, errs)
+
+    score = main(argv + ["--score"])
+    assert score["n"] == 3
+    assert score["ADDS_AUC"] >= 0.8, score

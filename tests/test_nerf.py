@@ -162,6 +162,106 @@ class TestNeuralObjectField:
         assert mesh.texture.shape == (256, 256, 3)
 
 
+class TestOccKeepFrac:
+    """NerfCfg.occ_keep_frac: importance subsetting of the occupancy
+    samples (keep the ones nearest the depth band) — the documented
+    fewer-points lever for the train step's gather-bound wall."""
+
+    def test_subset_near_band_semantics(self):
+        from foundationpose_tpu.nerf.runner import subset_near_band
+
+        z = jnp.asarray([[0.10, 0.44, 0.46, 0.54, 0.56, 0.90]])
+        valid = jnp.ones_like(z, bool)
+        depth = jnp.asarray([0.5])
+        kz, kv = subset_near_band(
+            z, valid, depth, trunc=0.05, neg_trunc_ratio=1.0, keep=4,
+            key=jax.random.PRNGKey(0),
+        )
+        # the two in-band samples plus the two nearest out-of-band ones,
+        # ascending
+        np.testing.assert_allclose(
+            np.asarray(kz[0]), [0.44, 0.46, 0.54, 0.56]
+        )
+        assert np.asarray(kv).all()
+
+        # invalid in-band samples are never chosen over valid ones
+        valid2 = valid.at[0, 2].set(False)  # 0.46 invalid
+        kz2, kv2 = subset_near_band(
+            z, valid2, depth, trunc=0.05, neg_trunc_ratio=1.0, keep=4,
+            key=jax.random.PRNGKey(0),
+        )
+        assert 0.46 not in np.round(np.asarray(kz2[0]), 6)
+        assert np.asarray(kv2).all()
+
+        # a ray without usable depth keeps SOME valid subset (random)
+        kz3, _ = subset_near_band(
+            z, valid, jnp.asarray([0.0]), trunc=0.05, neg_trunc_ratio=1.0,
+            keep=3, key=jax.random.PRNGKey(1), near=0.1, far=2.0,
+        )
+        assert kz3.shape == (1, 3)
+        assert set(np.round(np.asarray(kz3[0]), 6)) <= set(
+            np.round(np.asarray(z[0]), 6)
+        )
+
+    @pytest.mark.slow
+    def test_quality_parity_with_subsetting(self):
+        """A/B gate for the fewer-points preset: the same synthetic box
+        scene as test_end_to_end_reconstruction, trained with
+        occ_keep_frac=0.75, must clear the identical mesh-quality gates
+        (extents band + texture bake) — dropping the farthest quarter of
+        the occupancy samples thins far free-space supervision but must
+        not cost reconstruction quality."""
+        from foundationpose_tpu.meshio import make_box
+        from foundationpose_tpu.ops import render_mesh
+        from foundationpose_tpu.geometry.icosphere import sample_views_icosphere
+        from foundationpose_tpu.nerf import NerfCfg, run_neural_object_field
+
+        box = make_box(np.array([0.2, 0.2, 0.2]))
+        rng = np.random.default_rng(0)
+        box.vertex_colors = rng.integers(50, 255, (8, 3)).astype(np.uint8)
+        K = np.array([[120.0, 0, 64.0], [0, 120.0, 64.0], [0, 0, 1.0]], np.float32)
+        H = W = 128
+        views = sample_views_icosphere(n_views=4)
+        cam_in_obs = views.copy()
+        cam_in_obs[:, :3, 3] *= 0.6
+        ob_in_cams = np.linalg.inv(cam_in_obs)
+        out = render_mesh(
+            jnp.asarray(box.vertices.astype(np.float32)),
+            jnp.asarray(box.faces.astype(np.int32)),
+            jnp.asarray(ob_in_cams.astype(np.float32)),
+            jnp.asarray(K),
+            out_hw=(H, W),
+            vertex_color=jnp.asarray(box.vertex_colors.astype(np.float32) / 255),
+            vnormals=jnp.asarray(box.vertex_normals.astype(np.float32)),
+            use_light=True,
+            pose_block=12,
+        )
+        rgbs = (np.asarray(out.color) * 255).astype(np.uint8)
+        depths = np.asarray(out.depth).astype(np.float32)
+        masks = np.asarray(out.mask).astype(np.uint8)
+
+        cfg = NerfCfg(
+            n_step=120,
+            n_rand=512,
+            n_samples=32,
+            n_samples_around_depth=32,
+            num_levels=8,
+            finest_res=128,
+            log2_hashmap_size=15,
+            mesh_resolution=0.01,
+            tex_res=256,
+            amp=False,
+            occ_keep_frac=0.75,
+        )
+        mesh, runner = run_neural_object_field(
+            cfg, K, rgbs, depths, masks, cam_in_obs
+        )
+        assert len(mesh.vertices) > 50
+        ext = mesh.bounds()[1] - mesh.bounds()[0]
+        assert (ext > 0.1).all() and (ext < 0.45).all()
+        assert mesh.texture is not None and mesh.uv is not None
+
+
 class TestOctreeCloudDenoise:
     def _scene(self):
         from foundationpose_tpu.meshio import make_box

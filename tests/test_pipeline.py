@@ -522,10 +522,11 @@ class TestTrackPack:
         depth[rng.uniform(size=(h, w)) < 0.25] = 0.0
         depth[rng.uniform(size=(h, w)) < 0.05] = np.nan  # -> invalid
         mask = (rng.uniform(size=(h, w)) < 0.4).astype(np.uint8) * 7  # any
-        buf = jnp.asarray(pack_register_frame(rgb, depth, mask))
-        rgb_d, depth_d, mask_d = jax.jit(
+        buf = jnp.asarray(pack_register_frame(rgb, depth, mask, 48, 321))
+        rgb_d, depth_d, mask_d, x0_d, y0_d = jax.jit(
             lambda b: unpack_register_frame(b, (h, w))
         )(buf)
+        assert (float(x0_d), float(y0_d)) == (48.0, 321.0)
         np.testing.assert_allclose(
             np.asarray(rgb_d), rgb.astype(np.float32) / 255.0, atol=1e-6
         )
@@ -539,24 +540,79 @@ class TestTrackPack:
 
     @pytest.mark.slow
     def test_packed_matches_unpacked_register(self):
-        """register_pack=True and =False must pick the same hypothesis
-        and land within sub-millimeter agreement — the packed graph runs
-        the identical _register_body after the on-device unpack."""
+        """The three register upload modes — ROI-windowed packed, full-
+        frame packed, unpacked — must pick the same hypothesis and land
+        within sub-millimeter agreement: the packed graphs run the
+        identical _register_body after the on-device unpack, and the
+        window + K principal-point shift is an exact viewport
+        reparameterization."""
         import dataclasses
 
         mesh = colored_box()
         params = init_refine_net(jax.random.PRNGKey(6), tiny_cfg().refiner.net)
         gt = np.eye(4)
-        gt[:3, 3] = [0.02, -0.01, 0.9]
+        # far enough that the ROI window (crop extent x margin, 64-px
+        # buckets) is strictly smaller than the frame
+        gt[:3, 3] = [0.02, -0.01, 1.3]
         rgb, depth, mask = synth_frame(mesh, gt)
         out = {}
-        for pack in (True, False):
-            cfg = dataclasses.replace(tiny_cfg(), register_pack=pack)
+        for variant in ("roi", "pack", "plain"):
+            cfg = dataclasses.replace(
+                tiny_cfg(),
+                register_pack=variant != "plain",
+                register_roi=variant == "roi",
+            )
             e = FoundationPose(mesh=mesh, cfg=cfg, refiner_params=params)
+            if variant == "roi":
+                roi = e._register_roi_window(K, depth, mask)
+                assert roi is not None and roi[2] < min(depth.shape), roi
             pose = e.register(K, rgb, depth, mask, iteration=2)
-            out[pack] = (pose, e.best_id, np.asarray(e.scores))
-        assert out[True][1] == out[False][1]  # same winning hypothesis
-        np.testing.assert_allclose(out[True][0], out[False][0], atol=1e-3)
+            assert e.register_roi_recoveries == 0
+            out[variant] = (pose, e.best_id, np.asarray(e.scores))
+        assert out["roi"][1] == out["pack"][1] == out["plain"][1]
+        np.testing.assert_allclose(out["roi"][0], out["pack"][0], atol=1e-3)
+        np.testing.assert_allclose(out["pack"][0], out["plain"][0], atol=1e-3)
+
+    def test_register_roi_recovery_reruns_full_frame(self):
+        """If the refined winner's crop escapes the shipped register
+        window, register() must transparently re-run full-frame (the
+        recovery contract the config documents). Forced here by a
+        refiner whose translation head pushes every pose far sideways."""
+        import dataclasses
+
+        mesh = colored_box()
+        cfg = tiny_cfg()
+        params = init_refine_net(jax.random.PRNGKey(6), cfg.refiner.net)
+        # constant large +x shift per iteration: the winner's crop ends
+        # far outside any detection-sized window
+        params = jax.tree.map(lambda x: x, params)
+        params["trans_head"]["1"]["kernel"] = jnp.zeros_like(
+            params["trans_head"]["1"]["kernel"]
+        )
+        params["trans_head"]["1"]["bias"] = (
+            jnp.zeros_like(params["trans_head"]["1"]["bias"]).at[0].set(5.0)
+        )
+        params["rot_head"]["1"]["kernel"] = jnp.zeros_like(
+            params["rot_head"]["1"]["kernel"]
+        )
+        params["rot_head"]["1"]["bias"] = jnp.zeros_like(
+            params["rot_head"]["1"]["bias"]
+        )
+        gt = np.eye(4)
+        gt[:3, 3] = [0.02, -0.01, 1.3]
+        rgb, depth, mask = synth_frame(mesh, gt)
+        e = FoundationPose(mesh=mesh, cfg=cfg, refiner_params=params)
+        assert e._register_roi_window(K, depth, mask) is not None
+        pose_roi = e.register(K, rgb, depth, mask, iteration=1)
+        assert e.register_roi_recoveries == 1
+        # the recovered result equals a full-frame-from-the-start run
+        e2 = FoundationPose(
+            mesh=mesh,
+            cfg=dataclasses.replace(cfg, register_roi=False),
+            refiner_params=params,
+        )
+        pose_full = e2.register(K, rgb, depth, mask, iteration=1)
+        np.testing.assert_allclose(pose_roi, pose_full, atol=1e-3)
 
     @pytest.mark.slow
     def test_chain_graph_matches_per_frame_packed(self):

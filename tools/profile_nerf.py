@@ -76,6 +76,19 @@ def main():
     )
     print(f"full train step:            {t_step:8.1f} ms")
 
+    # --- fewer-points presets: drop the occupancy samples farthest from
+    # the depth band (NerfCfg.occ_keep_frac; quality A/B gated in
+    # tests/test_nerf.py::TestOccKeepFrac)
+    for frac in (0.75, 0.5):
+        cfg_k = dataclasses.replace(cfg, occ_keep_frac=frac)
+        runner_k = NerfRunner(cfg_k, rn, dn, masks, pn, K, build_pcd=pts)
+        t_k = timeit(
+            lambda: runner_k._train_step(
+                runner_k.params, runner_k.opt_state, key
+            )
+        )
+        print(f"train step keep_frac={frac}:   {t_k:8.1f} ms")
+
     # --- hashgrid alone on the same point count
     gcfg = runner.grid_cfg
     Np = cfg.n_rand * (cfg.n_samples + cfg.n_samples_around_depth)
